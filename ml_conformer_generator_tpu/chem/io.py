@@ -1,0 +1,156 @@
+"""Molecule file I/O: XYZ, MDL molblock (V2000), SDF.
+
+Replaces the RDKit I/O the reference uses (``Chem.MolFromXYZBlock``,
+``Chem.MolToMolBlock``, SDF writers in the app/eval scripts) with a small
+pure-Python implementation covering the subset of the formats this pipeline
+produces and consumes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from . import periodic
+from .mol import Molecule
+
+_CHARGE_CODE_TO_VALUE = {0: 0, 1: 3, 2: 2, 3: 1, 5: -1, 6: -2, 7: -3}
+_CHARGE_VALUE_TO_CODE = {v: k for k, v in _CHARGE_CODE_TO_VALUE.items()}
+
+
+# ---------------------------------------------------------------------------
+# XYZ
+# ---------------------------------------------------------------------------
+
+
+def from_xyz_block(block: str) -> Molecule:
+    lines = block.strip("\n").split("\n")
+    n = int(lines[0].strip())
+    name = lines[1].strip() if len(lines) > 1 else ""
+    atomic_nums, coords = [], []
+    for line in lines[2:2 + n]:
+        parts = line.split()
+        atomic_nums.append(periodic.atomic_num(parts[0]))
+        coords.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return Molecule(np.array(atomic_nums), np.array(coords), [], name=name)
+
+
+def to_xyz_block(mol: Molecule) -> str:
+    lines = [str(mol.num_atoms), mol.name]
+    for s, (x, y, z) in zip(mol.symbols(), mol.coords):
+        lines.append(f"{s} {x:.9f} {y:.9f} {z:.9f}")
+    return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# MDL molblock (V2000)
+# ---------------------------------------------------------------------------
+
+
+def from_mol_block(block: str) -> Molecule:
+    lines = block.split("\n")
+    if len(lines) < 4:
+        raise ValueError("molblock too short")
+    name = lines[0].strip()
+    counts = lines[3]
+    n_atoms = int(counts[0:3])
+    n_bonds = int(counts[3:6])
+
+    atomic_nums, coords, charges = [], [], []
+    for k in range(n_atoms):
+        line = lines[4 + k]
+        x = float(line[0:10])
+        y = float(line[10:20])
+        z = float(line[20:30])
+        sym = line[31:34].strip()
+        atomic_nums.append(periodic.atomic_num(sym))
+        coords.append([x, y, z])
+        code = int(line[36:39]) if len(line) >= 39 and line[36:39].strip() else 0
+        charges.append(_CHARGE_CODE_TO_VALUE.get(code, 0))
+
+    bonds = []
+    for k in range(n_bonds):
+        line = lines[4 + n_atoms + k]
+        i = int(line[0:3]) - 1
+        j = int(line[3:6]) - 1
+        order = int(line[6:9])
+        bonds.append((i, j, order))
+
+    # M  CHG lines override the atom-block charge codes.
+    explicit_chg = {}
+    for line in lines[4 + n_atoms + n_bonds:]:
+        if line.startswith("M  CHG"):
+            parts = line.split()
+            cnt = int(parts[2])
+            for c in range(cnt):
+                idx = int(parts[3 + 2 * c]) - 1
+                explicit_chg[idx] = int(parts[4 + 2 * c])
+        if line.startswith("M  END"):
+            break
+    charges_arr = np.array(charges, dtype=np.int64)
+    if explicit_chg:
+        charges_arr[:] = 0
+        for idx, chg in explicit_chg.items():
+            charges_arr[idx] = chg
+
+    return Molecule(np.array(atomic_nums), np.array(coords), bonds,
+                    charges_arr, name=name)
+
+
+def to_mol_block(mol: Molecule, name: Optional[str] = None,
+                 program: str = "mcgtpu3D") -> str:
+    name = mol.name if name is None else name
+    out = [name, f"     {program}", ""]
+    out.append(f"{mol.num_atoms:3d}{mol.num_bonds:3d}  0  0  0  0  0  0  0  0999 V2000")
+    for s, (x, y, z) in zip(mol.symbols(), mol.coords):
+        out.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {s:<3} 0  0  0  0  0  0  0  0  0  0  0  0")
+    for i, j, order in mol.bonds:
+        out.append(f"{i + 1:3d}{j + 1:3d}{order:3d}  0")
+    chg = [(idx, int(c)) for idx, c in enumerate(mol.charges) if c != 0]
+    for start in range(0, len(chg), 8):
+        chunk = chg[start:start + 8]
+        line = f"M  CHG{len(chunk):3d}"
+        for idx, c in chunk:
+            line += f"{idx + 1:4d}{c:4d}"
+        out.append(line)
+    out.append("M  END")
+    return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# SDF
+# ---------------------------------------------------------------------------
+
+
+def read_sdf(text: str) -> List[Molecule]:
+    mols = []
+    for chunk in text.split("$$$$"):
+        chunk = chunk.strip("\n ")
+        if not chunk:
+            continue
+        end = chunk.find("M  END")
+        if end == -1:
+            continue
+        mols.append(from_mol_block(chunk[: end + len("M  END")]))
+    return mols
+
+
+def write_sdf(mols: List[Molecule], props: Optional[List[dict]] = None) -> str:
+    records = []
+    for k, mol in enumerate(mols):
+        rec = to_mol_block(mol)
+        if props is not None and k < len(props):
+            for key, value in props[k].items():
+                rec += f">  <{key}>\n{value}\n\n"
+        rec += "$$$$\n"
+        records.append(rec)
+    return "".join(records)
+
+
+def read_mol_file(path: str) -> Molecule:
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".xyz"):
+        return from_xyz_block(text)
+    return from_mol_block(text)

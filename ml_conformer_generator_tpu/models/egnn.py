@@ -1,0 +1,294 @@
+"""TPU-native E(n)-equivariant GNN denoiser.
+
+Re-designed from scratch for TPU/XLA; behavioural reference:
+``/root/reference/src/mlconfgen/egnn.py`` (GCL :7-85, EquivariantUpdate :88-149,
+EquivariantBlock :152-222, EGNN :225-401, EGNNDynamics :448-541).
+
+Key departures from the reference (all TPU-first, math-equivalent):
+
+* **Dense masked graphs.** Molecular graphs here are tiny (N <= 42) and fully
+  connected, so edges are never materialised as a COO ``edge_index``; every
+  per-edge quantity is a dense ``(B, N, N, ...)`` tensor and aggregation is a
+  masked sum over axis 2. XLA maps the resulting batched matmuls straight onto
+  the MXU; there is no scatter/gather at all.
+
+* **Split-weight edge MLPs.** The reference computes the first edge-MLP layer on
+  the concatenation ``[h_i, h_j, e_ij]`` for every one of the B*N^2 edges. We
+  split that weight matrix into per-node source/target projections computed once
+  per *node* (B*N rows) and broadcast-added per edge, which removes the dominant
+  O(B N^2 (2H)H) matmul in favour of O(B N (2H)H) + a cheap VPU add. This is a
+  floating-point reordering of the same linear map.
+
+* **Blocks as a scan.** The reference unrolls 9 structurally identical blocks by
+  hand; here block parameters are stacked along a leading axis and the forward
+  pass is a single ``lax.scan``, so the compiled program is one block body.
+
+All functions are pure; parameters are pytrees (nested dicts of jnp arrays)
+with weights stored ``(in_features, out_features)`` so application is ``x @ W``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EGNNConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisers
+# ---------------------------------------------------------------------------
+#
+# Initialisation runs host-side with numpy (seeded from the JAX key): eager
+# per-leaf jax.random calls would compile one tiny XLA program per parameter
+# shape, which dominates model construction time.
+
+
+def np_rng_from_key(key) -> np.random.Generator:
+    data = np.asarray(jax.random.key_data(key)).ravel()
+    return np.random.default_rng([int(x) for x in data])
+
+
+def _linear_init(rng: np.random.Generator, in_f: int, out_f: int, *,
+                 bias: bool = True, xavier_gain: Optional[float] = None,
+                 dtype=jnp.float32) -> Params:
+    """Torch-compatible default Linear init: U(+-1/sqrt(fan_in)) for W and b.
+
+    ``xavier_gain`` switches to xavier-uniform with the given gain (used for the
+    coordinate-update output layer, reference ``egnn.py:100-101``).
+    """
+    if xavier_gain is not None:
+        limit = xavier_gain * np.sqrt(6.0 / (in_f + out_f))
+    else:
+        limit = 1.0 / np.sqrt(in_f)
+    p: Params = {"w": jnp.asarray(
+        rng.uniform(-limit, limit, (in_f, out_f)), dtype=dtype)}
+    if bias:
+        blim = 1.0 / np.sqrt(in_f)
+        p["b"] = jnp.asarray(rng.uniform(-blim, blim, (out_f,)), dtype=dtype)
+    return p
+
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_gcl_params(rng: np.random.Generator, cfg: EGNNConfig,
+                    dtype=jnp.float32) -> Params:
+    """One graph-convolution layer (reference GCL, ``egnn.py:7-36``)."""
+    h = cfg.hidden_nf
+    e = cfg.edge_feat_nf
+    return {
+        # edge MLP: Linear(2H+e -> H), SiLU, Linear(H -> H), SiLU
+        "edge_0": _linear_init(rng, 2 * h + e, h, dtype=dtype),
+        "edge_1": _linear_init(rng, h, h, dtype=dtype),
+        # node MLP: Linear(2H -> H), SiLU, Linear(H -> H)
+        "node_0": _linear_init(rng, 2 * h, h, dtype=dtype),
+        "node_1": _linear_init(rng, h, h, dtype=dtype),
+        # attention gate: Linear(H -> 1), sigmoid
+        "att": _linear_init(rng, h, 1, dtype=dtype),
+    }
+
+
+def init_coord_update_params(rng: np.random.Generator, cfg: EGNNConfig,
+                             dtype=jnp.float32) -> Params:
+    """Equivariant coordinate update (reference ``egnn.py:88-109``)."""
+    h = cfg.hidden_nf
+    e = cfg.edge_feat_nf
+    return {
+        "coord_0": _linear_init(rng, 2 * h + e, h, dtype=dtype),
+        "coord_1": _linear_init(rng, h, h, dtype=dtype),
+        # final scalar head, no bias, tiny xavier gain for stability
+        "coord_out": _linear_init(rng, h, 1, bias=False, xavier_gain=0.001,
+                                  dtype=dtype),
+    }
+
+
+def init_block_params(rng: np.random.Generator, cfg: EGNNConfig,
+                      dtype=jnp.float32) -> Params:
+    """One EquivariantBlock = GCL x2 + coordinate update (``egnn.py:152-186``)."""
+    return {
+        "gcl_0": init_gcl_params(rng, cfg, dtype),
+        "gcl_1": init_gcl_params(rng, cfg, dtype),
+        "coord": init_coord_update_params(rng, cfg, dtype),
+    }
+
+
+def init_egnn_params(key, cfg: EGNNConfig, dtype=jnp.float32) -> Params:
+    """Full EGNN backbone: embed -> n_blocks (stacked) -> unembed."""
+    rng = np_rng_from_key(key)
+    blocks = [init_block_params(rng, cfg, dtype) for _ in range(cfg.n_blocks)]
+    # Stack the per-block pytrees along a leading axis for lax.scan.
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    nf = cfg.total_node_nf
+    return {
+        "embedding": _linear_init(rng, nf, cfg.hidden_nf, dtype=dtype),
+        "embedding_out": _linear_init(rng, cfg.hidden_nf, nf, dtype=dtype),
+        "blocks": stacked,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def pairwise_sq_dist(x: jnp.ndarray) -> jnp.ndarray:
+    """Squared pairwise distances ``(B, N, N)`` from coords ``(B, N, 3)``.
+
+    Computed from explicit differences (not the ||a||^2 + ||b||^2 - 2ab trick)
+    to match the reference's per-edge ``coord2diff`` numerics (``egnn.py:404-415``).
+    """
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _edge_stack_apply(p0: Params, p1: Params, h: jnp.ndarray,
+                      edge_feat: jnp.ndarray) -> jnp.ndarray:
+    """Shared 2-layer edge MLP with the split-weight trick.
+
+    ``p0`` maps [h_i, h_j, e_ij] (2H+e) -> H; ``p1`` maps H -> H.
+    Returns SiLU(L1(SiLU(L0(...)))) with shape ``(B, N, N, H)``.
+    """
+    hdim = h.shape[-1]
+    w_src = p0["w"][:hdim]              # rows acting on h_i
+    w_tgt = p0["w"][hdim:2 * hdim]      # rows acting on h_j
+    w_e = p0["w"][2 * hdim:]            # rows acting on edge scalars
+    u = h @ w_src                       # (B, N, H) per-target-node projection
+    v = h @ w_tgt                       # (B, N, H) per-source-node projection
+    pre = (u[:, :, None, :] + v[:, None, :, :]
+           + edge_feat @ w_e + p0["b"])           # (B, N, N, H)
+    m = jax.nn.silu(pre)
+    return jax.nn.silu(_linear(p1, m))
+
+
+def gcl_forward(params: Params, h: jnp.ndarray, edge_feat: jnp.ndarray,
+                node_mask: jnp.ndarray, edge_mask: jnp.ndarray,
+                normalization_factor: float = 100.0) -> jnp.ndarray:
+    """Dense GCL (reference ``egnn.py:38-85``).
+
+    h: (B, N, H); edge_feat: (B, N, N, E); node_mask: (B, N, 1);
+    edge_mask: (B, N, N, 1).
+    """
+    mij = _edge_stack_apply(params["edge_0"], params["edge_1"], h, edge_feat)
+    gate = jax.nn.sigmoid(_linear(params["att"], mij))       # (B, N, N, 1)
+    msg = mij * gate * edge_mask
+    agg = jnp.sum(msg, axis=2) / normalization_factor        # (B, N, H)
+    # node update: Linear on [h, agg] via split weights, residual, mask
+    w = params["node_0"]["w"]
+    hdim = h.shape[-1]
+    pre = h @ w[:hdim] + agg @ w[hdim:] + params["node_0"]["b"]
+    out = h + _linear(params["node_1"], jax.nn.silu(pre))
+    return out * node_mask
+
+
+def coord_update_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
+                         edge_feat: jnp.ndarray, coord_diff: jnp.ndarray,
+                         node_mask: jnp.ndarray, edge_mask: jnp.ndarray,
+                         normalization_factor: float = 100.0) -> jnp.ndarray:
+    """Equivariant coordinate update (reference ``egnn.py:111-149``).
+
+    coord_diff: (B, N, N, 3) unit difference vectors (x_i - x_j)/||.||.
+    """
+    m = _edge_stack_apply(params["coord_0"], params["coord_1"], h, edge_feat)
+    scal = m @ params["coord_out"]["w"]                       # (B, N, N, 1)
+    trans = coord_diff * scal * edge_mask
+    agg = jnp.sum(trans, axis=2) / normalization_factor       # (B, N, 3)
+    return (x + agg) * node_mask
+
+
+def block_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
+                  d0: jnp.ndarray, node_mask: jnp.ndarray,
+                  edge_mask: jnp.ndarray, cfg: EGNNConfig
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One EquivariantBlock (reference ``egnn.py:188-222``).
+
+    d0: (B, N, N, 1) squared distances of the *input* coordinates — a persistent
+    edge feature shared by every block.
+    """
+    radial = pairwise_sq_dist(x)[..., None]                   # (B, N, N, 1)
+    norm = jnp.sqrt(radial + 1e-8)
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    coord_diff = diff / norm
+    edge_feat = jnp.concatenate([radial, d0], axis=-1)        # (B, N, N, 2)
+
+    nf = cfg.normalization_factor
+    h = gcl_forward(params["gcl_0"], h, edge_feat, node_mask, edge_mask, nf)
+    h = gcl_forward(params["gcl_1"], h, edge_feat, node_mask, edge_mask, nf)
+    x = coord_update_forward(params["coord"], h, x, edge_feat, coord_diff,
+                             node_mask, edge_mask, nf)
+    h = h * node_mask
+    return h, x
+
+
+def egnn_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
+                 node_mask: jnp.ndarray, edge_mask: jnp.ndarray,
+                 cfg: EGNNConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EGNN backbone (reference ``egnn.py:305-401``).
+
+    h: (B, N, total_node_nf); x: (B, N, 3); node_mask: (B, N, 1);
+    edge_mask: (B, N, N, 1). Returns final (h, x).
+    """
+    d0 = pairwise_sq_dist(x)[..., None]
+    h = _linear(params["embedding"], h)
+
+    def body(carry, block_params):
+        h, x = carry
+        h, x = block_forward(block_params, h, x, d0, node_mask, edge_mask, cfg)
+        return (h, x), None
+
+    (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
+    h = _linear(params["embedding_out"], h)
+    h = h * node_mask
+    return h, x
+
+
+# ---------------------------------------------------------------------------
+# Dynamics wrapper (the denoiser unit the sampler calls)
+# ---------------------------------------------------------------------------
+
+
+def remove_mean_with_mask(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Project masked positions to zero centre of mass (``egnn.py:440-445``)."""
+    n = jnp.sum(node_mask, axis=1, keepdims=True)
+    mean = jnp.sum(x, axis=1, keepdims=True) / n
+    return x - mean * node_mask
+
+
+def init_dynamics_params(key, cfg: EGNNConfig, dtype=jnp.float32) -> Params:
+    return init_egnn_params(key, cfg, dtype)
+
+
+def dynamics_forward(params: Params, t: jnp.ndarray, xh: jnp.ndarray,
+                     node_mask: jnp.ndarray, edge_mask: jnp.ndarray,
+                     context: jnp.ndarray, cfg: EGNNConfig) -> jnp.ndarray:
+    """EGNNDynamics forward (reference ``egnn.py:472-513``).
+
+    t: (B,) or (B, 1) normalised time in [0, 1];
+    xh: (B, N, 3 + in_node_nf - 1) latent [positions | atom features];
+    node_mask: (B, N, 1); edge_mask: (B, N, N, 1); context: (B, N, context_nf).
+    Returns eps prediction of the same trailing dim as xh.
+    """
+    B, N, _ = xh.shape
+    nd = cfg.n_dims
+    xh = xh * node_mask
+    x = xh[..., :nd]
+    hfeat = xh[..., nd:]
+    t_b = jnp.broadcast_to(jnp.reshape(t, (B, 1, 1)), (B, N, 1))
+    h = jnp.concatenate([hfeat, t_b, context], axis=-1)       # (B, N, total_nf)
+
+    h_final, x_final = egnn_forward(params, h, x, node_mask, edge_mask, cfg)
+
+    vel = (x_final - x) * node_mask
+    vel = remove_mean_with_mask(vel, node_mask)
+    # strip context channels then the time channel
+    h_out = h_final[..., : -(cfg.context_node_nf + 1)]
+    return jnp.concatenate([vel, h_out], axis=-1)
