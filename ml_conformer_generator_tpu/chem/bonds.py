@@ -1,0 +1,39 @@
+"""Bond assignment from predicted adjacency logits.
+
+Behavioural reference: ``/root/reference/src/mlconfgen/utils/mol_utils.py``
+(``redefine_bonds`` :197-223): argmax over the 5 bond-type channels, lower
+triangle only, bonds rebuilt from scratch on a geometry-only molecule.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from .mol import Molecule
+
+
+def bonds_from_adjacency_logits(adj_logits: np.ndarray,
+                                n_atoms: int) -> List[Tuple[int, int, int]]:
+    """argmax over bond-type channels -> (i, j, order) list, i > j.
+
+    adj_logits: (D, D, num_bond_types) symmetrised logits.
+    """
+    pred = np.argmax(adj_logits[:n_atoms, :n_atoms], axis=-1)
+    pred = np.tril(pred, k=-1)  # lower triangle, diagonal removed
+    ii, jj = np.nonzero(pred)
+    return [(int(i), int(j), int(pred[i, j])) for i, j in zip(ii, jj)]
+
+
+def redefine_bonds(mol: Molecule, adj_logits: np.ndarray) -> Molecule:
+    """Replace all bonds of ``mol`` with the predicted ones (reference :197-223).
+
+    Atom order must match the order the logits were predicted for (the
+    canonicalised order fed to AdjMatSeer).
+    """
+    out = mol.copy()
+    out.charges = np.zeros_like(out.charges)
+    out.bonds = bonds_from_adjacency_logits(np.asarray(adj_logits),
+                                            mol.num_atoms)
+    return out

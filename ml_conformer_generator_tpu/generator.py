@@ -1,0 +1,309 @@
+"""Public pipeline API: shape-conditioned molecule generation.
+
+Behavioural reference: ``/root/reference/src/mlconfgen/conformer_generator.py``
+(``MLConformerGenerator`` :19-399). The public signature of
+``generate_conformers`` matches the reference exactly
+(``conformer_generator.py:268-282``); molecules are this framework's
+:class:`~.chem.mol.Molecule` instead of RDKit Mols.
+
+TPU-first structure:
+* the whole T-step sampler (plus inpaint/merge variants) is one jitted program
+  per (batch, nodes) shape — no per-step host dispatch;
+* jitted executables are cached per shape bucket;
+* the bond predictor runs as a second jitted program;
+* chemistry (perception, canonicalisation, sanitisation) runs host-side, and
+  geometry optimisation runs as a third batched device program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import (load_params, load_torch_adj_mat_seer, load_torch_edm,
+                         save_params)
+from .chem.bonds import redefine_bonds
+from .chem.featurize import (fragment_to_xh, prepare_adj_mat_seer_input,
+                             samples_to_molecules)
+from .chem.mol import Molecule
+from .chem.standardize import standardize_batch
+from .config import (ATOM_DECODER, CONTEXT_NORMS, DIMENSION, MAX_N_NODES,
+                     MIN_N_NODES, NUM_BOND_TYPES, AdjMatSeerConfig,
+                     DiffusionConfig, EGNNConfig)
+from .diffusion.edm import EDMSampler
+from .diffusion.schedule import gamma_schedule
+from .models.adj_mat_seer import (adj_mat_seer_forward,
+                                  init_adj_mat_seer_params)
+from .models.egnn import init_egnn_params
+from .ops.moi import get_context_shape, inverse_coord_transform
+from .utils.fragments import (ifm_prepare_fragments_for_merge,
+                              ifm_prepare_gen_fragment_context,
+                              prepare_fragment)
+from .utils.masks import prepare_edm_input
+
+
+class MLConformerGenerator:
+    """Generates novel molecules matching the 3D shape of a reference.
+
+    Weights: pass ``edm_weights`` / ``adj_mat_seer_weights`` as either native
+    ``.npz`` checkpoints or the reference's torch ``.pt`` files (converted on
+    load). Without weight files the models are randomly initialised (useful
+    only for pipeline testing — EDM sampling needs trained weights to produce
+    chemistry).
+    """
+
+    def __init__(
+        self,
+        diffusion_steps: int = 100,
+        dimension: int = DIMENSION,
+        num_bond_types: int = NUM_BOND_TYPES,
+        min_n_nodes: int = MIN_N_NODES,
+        max_n_nodes: int = MAX_N_NODES,
+        context_norms: Dict = CONTEXT_NORMS,
+        atom_decoder: Dict[int, str] = ATOM_DECODER,
+        edm_weights: Optional[str] = None,
+        adj_mat_seer_weights: Optional[str] = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.dimension = dimension
+        self.context_norms = context_norms
+        self.atom_decoder = atom_decoder
+        self.min_n_nodes = min_n_nodes
+        self.max_n_nodes = max_n_nodes
+        self.diffusion_steps = diffusion_steps
+
+        self.egnn_cfg = EGNNConfig(in_node_nf=9, context_node_nf=3,
+                                   hidden_nf=420)
+        self.diff_cfg = DiffusionConfig(timesteps=diffusion_steps,
+                                        noise_precision=1e-5)
+        self.adj_cfg = AdjMatSeerConfig(dimension=dimension, n_hidden=2048,
+                                        embedding_dim=64, num_embeddings=36,
+                                        num_bond_types=num_bond_types)
+
+        key = jax.random.PRNGKey(seed)
+        k_edm, k_adj, self._key = jax.random.split(key, 3)
+
+        if edm_weights is None:
+            self.edm_params = init_egnn_params(k_edm, self.egnn_cfg, dtype)
+        elif edm_weights.endswith(".npz"):
+            self.edm_params = load_params(edm_weights)
+        else:
+            self.edm_params = load_torch_edm(edm_weights, self.egnn_cfg)
+
+        if adj_mat_seer_weights is None:
+            self.adj_params = init_adj_mat_seer_params(k_adj, self.adj_cfg,
+                                                       dtype)
+        elif adj_mat_seer_weights.endswith(".npz"):
+            self.adj_params = load_params(adj_mat_seer_weights)
+        else:
+            self.adj_params = load_torch_adj_mat_seer(adj_mat_seer_weights)
+
+        # Rebuilt schedule for the requested step count (reference :104-113).
+        self.gamma = jnp.asarray(gamma_schedule(diffusion_steps,
+                                                precision=1e-5))
+        self.sampler = EDMSampler(self.egnn_cfg, self.diff_cfg)
+
+        # jit caches -----------------------------------------------------
+        self._generate_fn = {}
+        self._inpaint_fn = {}
+        self._merge_fn = {}
+        self._adj_fn = jax.jit(partial(adj_mat_seer_forward, cfg=self.adj_cfg))
+
+    # ------------------------------------------------------------------
+    # RNG
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Compiled samplers (cached per static config)
+    # ------------------------------------------------------------------
+
+    def _get_generate(self, resample_steps: int):
+        fn = self._generate_fn.get(resample_steps)
+        if fn is None:
+            fn = jax.jit(partial(self.sampler.generate,
+                                 resample_steps=resample_steps))
+            self._generate_fn[resample_steps] = fn
+        return fn
+
+    def _get_inpaint(self, resample_steps: int, blend_power: int):
+        k = (resample_steps, blend_power)
+        fn = self._inpaint_fn.get(k)
+        if fn is None:
+            fn = jax.jit(partial(self.sampler.inpaint,
+                                 resample_steps=resample_steps,
+                                 blend_power=blend_power))
+            self._inpaint_fn[k] = fn
+        return fn
+
+    def _get_merge(self, diffusion_level: int, resample_steps: int,
+                   blend_power: int):
+        k = (diffusion_level, resample_steps, blend_power)
+        fn = self._merge_fn.get(k)
+        if fn is None:
+            fn = jax.jit(partial(self.sampler.merge_fragments,
+                                 diffusion_level=diffusion_level,
+                                 resample_steps=resample_steps,
+                                 blend_power=blend_power))
+            self._merge_fn[k] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Sampling stage (reference edm_samples :125-266)
+    # ------------------------------------------------------------------
+
+    def edm_samples(
+        self,
+        reference_context: jnp.ndarray,
+        n_samples: int = 100,
+        max_n_nodes: int = 32,
+        min_n_nodes: int = 25,
+        resample_steps: int = 0,
+        fixed_fragment: Optional[Molecule] = None,
+        inertial_fragment_matching: bool = True,
+        blend_power: int = 3,
+        ifm_diffusion_level: int = 50,
+    ) -> List[Molecule]:
+        """Run the diffusion stage; returns bond-less molecules."""
+        min_n_nodes = max(min_n_nodes, self.min_n_nodes)
+        max_n_nodes = min(max_n_nodes, self.max_n_nodes)
+
+        node_mask, edge_mask, batch_context, n_nodes = prepare_edm_input(
+            self._next_key(), n_samples, jnp.asarray(reference_context),
+            self.context_norms, min_n_nodes, max_n_nodes)
+
+        if fixed_fragment is None:
+            x, h = self._get_generate(resample_steps)(
+                self.edm_params, self._next_key(), self.gamma, node_mask,
+                edge_mask, batch_context)
+        elif inertial_fragment_matching:
+            x, h = self._ifm_samples(
+                reference_context, node_mask, edge_mask, batch_context,
+                n_nodes, fixed_fragment, max_n_nodes, min_n_nodes,
+                resample_steps, blend_power, ifm_diffusion_level)
+        else:
+            frag_x, frag_h = fragment_to_xh(fixed_fragment)
+            z_known, fixed_mask = prepare_fragment(
+                n_samples, jnp.asarray(frag_x), jnp.asarray(frag_h),
+                max_n_nodes, min_n_nodes)
+            x, h = self._get_inpaint(resample_steps, blend_power)(
+                self.edm_params, self._next_key(), self.gamma, node_mask,
+                edge_mask, batch_context, z_known, fixed_mask)
+
+        return samples_to_molecules(np.asarray(x), np.asarray(h),
+                                    np.asarray(node_mask), self.atom_decoder)
+
+    def _ifm_samples(self, reference_context, node_mask, edge_mask,
+                     batch_context, n_nodes, fixed_fragment, max_n_nodes,
+                     min_n_nodes, resample_steps, blend_power,
+                     ifm_diffusion_level):
+        """Inertial fragment matching (reference :179-241).
+
+        Generate the complement fragments in their own principal frames, rotate
+        them back, then merge with the fixed fragment by partial re-diffusion.
+        """
+        frag_x, frag_h = fragment_to_xh(fixed_fragment)
+        frag_x = jnp.asarray(frag_x)
+        frag_h = jnp.asarray(frag_h)
+
+        (frag_node_mask, frag_edge_mask, frag_context, shift,
+         rotation) = ifm_prepare_gen_fragment_context(
+            frag_x, jnp.asarray(reference_context), self.context_norms,
+            np.asarray(n_nodes), max_n_nodes, min_n_nodes)
+
+        x_gen, h_gen = self._get_generate(resample_steps)(
+            self.edm_params, self._next_key(), self.gamma, frag_node_mask,
+            frag_edge_mask, frag_context)
+
+        x_gen = inverse_coord_transform(x_gen, shift, rotation)
+
+        z_known, fixed_mask = ifm_prepare_fragments_for_merge(
+            frag_x, frag_h, x_gen, h_gen, max_n_nodes)
+
+        return self._get_merge(ifm_diffusion_level, resample_steps,
+                               blend_power)(
+            self.edm_params, self._next_key(), self.gamma, node_mask,
+            edge_mask, fixed_mask, batch_context, z_known)
+
+    # ------------------------------------------------------------------
+    # Full pipeline (reference generate_conformers :268-368)
+    # ------------------------------------------------------------------
+
+    def generate_conformers(
+        self,
+        reference_conformer: Optional[Molecule] = None,
+        n_samples: int = 10,
+        variance: int = 2,
+        reference_context=None,
+        n_atoms: Optional[int] = None,
+        optimise_geometry: bool = True,
+        resample_steps: int = 0,
+        fixed_fragment: Optional[Molecule] = None,
+        inertial_fragment_matching: bool = True,
+        blend_power: int = 3,
+        ifm_diffusion_level: int = 50,
+    ) -> List[Molecule]:
+        """Generate valid, standardised molecules matching a reference shape.
+
+        Same signature and routing as the reference
+        (``conformer_generator.py:268-368``).
+        """
+        if reference_conformer is not None:
+            ref = reference_conformer.remove_hs()
+            ref_n_atoms = ref.num_atoms
+            coords = jnp.asarray(ref.coords, dtype=jnp.float32)
+            coords = coords - jnp.mean(coords, axis=0)
+            ref_context, _ = get_context_shape(coords)
+        elif reference_context is not None:
+            if not n_atoms:
+                raise ValueError(
+                    "Reference Number of Atoms should be provided, when "
+                    "generating samples using context.")
+            ref_n_atoms = n_atoms
+            ref_context = jnp.asarray(reference_context)
+        else:
+            raise ValueError(
+                "Either a reference Molecule or context should be provided "
+                "for generation.")
+
+        raw = self.edm_samples(
+            reference_context=ref_context,
+            n_samples=n_samples,
+            min_n_nodes=ref_n_atoms - variance,
+            max_n_nodes=ref_n_atoms + variance,
+            resample_steps=resample_steps,
+            fixed_fragment=fixed_fragment,
+            inertial_fragment_matching=inertial_fragment_matching,
+            blend_power=blend_power,
+            ifm_diffusion_level=ifm_diffusion_level,
+        )
+
+        elements, dist, adj, canon = prepare_adj_mat_seer_input(
+            raw, self.dimension)
+
+        adj_logits = np.asarray(self._adj_fn(
+            self.adj_params, jnp.asarray(elements), jnp.asarray(dist),
+            jnp.asarray(adj)))
+
+        bonded = [redefine_bonds(canon[i], adj_logits[i])
+                  for i in range(len(canon))]
+        standardized = standardize_batch(bonded, optimise_geometry)
+        return [m for m in standardized if m is not None]
+
+    __call__ = generate_conformers
+
+    # ------------------------------------------------------------------
+    # Persistence
+    # ------------------------------------------------------------------
+
+    def save_weights(self, edm_path: str, adj_path: str) -> None:
+        save_params(edm_path, self.edm_params)
+        save_params(adj_path, self.adj_params)

@@ -1,0 +1,168 @@
+"""Chemistry-layer tests: I/O, perception, canonicalisation, sanitisation,
+standardisation — exercised on the reference demo molecules."""
+
+import numpy as np
+import pytest
+
+from ml_conformer_generator_tpu.chem import (
+    Molecule, SanitizeError, canonical_ranks, canonicalise,
+    determine_connectivity, find_rings, from_mol_block, implicit_hydrogens,
+    kekulize, read_mol_file, read_sdf, redefine_bonds, sanitize,
+    standardize_mol, to_mol_block, to_xyz_block, write_sdf)
+from ml_conformer_generator_tpu.chem.io import from_xyz_block
+
+CEYYAG = "/root/reference/assets/demo_files/ceyyag.mol"
+PABA = "/root/reference/assets/demo_files/paba.mol"
+
+
+def test_molblock_roundtrip():
+    mol = read_mol_file(CEYYAG)
+    assert mol.num_atoms == 29
+    assert mol.num_bonds == 30
+    block = to_mol_block(mol)
+    mol2 = from_mol_block(block)
+    assert mol2.num_atoms == mol.num_atoms
+    assert mol2.num_bonds == mol.num_bonds
+    np.testing.assert_allclose(mol2.coords, mol.coords, atol=1e-3)
+    np.testing.assert_array_equal(mol2.atomic_nums, mol.atomic_nums)
+
+
+def test_xyz_roundtrip():
+    mol = read_mol_file(CEYYAG)
+    xyz = to_xyz_block(mol)
+    mol2 = from_xyz_block(xyz)
+    assert mol2.num_atoms == mol.num_atoms
+    np.testing.assert_allclose(mol2.coords, mol.coords, atol=1e-6)
+
+
+def test_sdf_roundtrip():
+    mol = read_mol_file(PABA)
+    text = write_sdf([mol, mol], props=[{"score": 0.5}, {"score": 0.7}])
+    back = read_sdf(text)
+    assert len(back) == 2
+    assert back[0].num_atoms == mol.num_atoms
+
+
+def test_connectivity_perception_matches_file_bonds():
+    """Distance-based perception should recover the file's bond skeleton."""
+    mol = read_mol_file(CEYYAG)
+    perceived = determine_connectivity(mol)
+    file_pairs = {(min(i, j), max(i, j)) for i, j, _ in mol.bonds}
+    got_pairs = {(min(i, j), max(i, j)) for i, j, _ in perceived.bonds}
+    assert file_pairs == got_pairs
+
+
+def test_find_rings_benzene():
+    mol = read_mol_file(CEYYAG)  # two aromatic rings
+    heavy = mol.remove_hs()
+    rings = find_rings(heavy)
+    sizes = sorted(len(r) for r in rings)
+    assert 6 in sizes
+
+
+def test_canonical_ranks_permutation_invariant():
+    mol = read_mol_file(PABA).remove_hs()
+    mol = determine_connectivity(mol)
+    perm = np.random.default_rng(0).permutation(mol.num_atoms)
+    mol_p = mol.renumber(perm.tolist())
+    c1 = canonicalise(mol)
+    c2 = canonicalise(mol_p)
+    np.testing.assert_array_equal(c1.atomic_nums, c2.atomic_nums)
+    # canonical order must map both to the same structure
+    b1 = {(min(i, j), max(i, j), o) for i, j, o in c1.bonds}
+    b2 = {(min(i, j), max(i, j), o) for i, j, o in c2.bonds}
+    assert b1 == b2
+    np.testing.assert_allclose(
+        np.sort(np.linalg.norm(c1.coords - c1.coords.mean(0), axis=1)),
+        np.sort(np.linalg.norm(c2.coords - c2.coords.mean(0), axis=1)),
+        atol=1e-6)
+
+
+def test_kekulize_benzene():
+    # benzene ring as aromatic bonds
+    coords = np.array([[np.cos(t), np.sin(t), 0.0]
+                       for t in np.linspace(0, 2 * np.pi, 7)[:-1]]) * 1.39
+    bonds = [(i, (i + 1) % 6, 4) for i in range(6)]
+    mol = Molecule(np.full(6, 6), coords, bonds)
+    kek = kekulize(mol)
+    orders = sorted(o for _, _, o in kek.bonds)
+    assert orders == [1, 1, 1, 2, 2, 2]
+    h = implicit_hydrogens(kek)
+    np.testing.assert_array_equal(h, np.ones(6))
+
+
+def test_kekulize_pyrrole():
+    # 5-ring with N: N contributes the lone pair, 2 double bonds among carbons
+    bonds = [(i, (i + 1) % 5, 4) for i in range(5)]
+    mol = Molecule(np.array([7, 6, 6, 6, 6]), np.zeros((5, 3)), bonds)
+    kek = kekulize(mol)
+    orders = sorted(o for _, _, o in kek.bonds)
+    assert orders == [1, 1, 1, 2, 2]
+    v = {i: 0 for i in range(5)}
+    for i, j, o in kek.bonds:
+        v[i] += o
+        v[j] += o
+    assert v[0] == 2  # N keeps two single bonds (pyrrole-type)
+
+
+def test_kekulize_impossible_raises():
+    # 5-ring of all-carbon aromatic bonds cannot kekulise (odd cycle, all must)
+    bonds = [(i, (i + 1) % 5, 4) for i in range(5)]
+    mol = Molecule(np.full(5, 6), np.zeros((5, 3)), bonds)
+    with pytest.raises(SanitizeError):
+        kekulize(mol)
+
+
+def test_sanitize_valence_violation():
+    # carbon with 5 single bonds -> invalid
+    bonds = [(0, i, 1) for i in range(1, 6)]
+    mol = Molecule(np.full(6, 6), np.random.default_rng(0).standard_normal(
+        (6, 3)), bonds)
+    with pytest.raises(SanitizeError):
+        sanitize(mol)
+
+
+def test_sanitize_nitro_normalisation():
+    # R-N(=O)=O becomes R-N+(-O-)=O
+    bonds = [(0, 1, 1), (1, 2, 2), (1, 3, 2)]
+    mol = Molecule(np.array([6, 7, 8, 8]),
+                   np.random.default_rng(1).standard_normal((4, 3)), bonds)
+    out = sanitize(mol)
+    assert out.charges[1] == 1
+    assert sorted(out.charges.tolist()) == [-1, 0, 0, 1]
+    orders = sorted(o for _, _, o in out.bonds)
+    assert orders == [1, 1, 2]
+
+
+def test_standardize_full_molecule():
+    mol = read_mol_file(CEYYAG).remove_hs()
+    mol = determine_connectivity(mol)
+    # give it sensible orders: all single is valid for this skeleton? May not
+    # be; instead run through sanitize with perceived single bonds.
+    std = standardize_mol(mol, optimize_geometry_flag=False)
+    assert std is not None
+    assert std.num_atoms == mol.num_atoms
+
+
+def test_redefine_bonds_from_logits():
+    mol = read_mol_file(PABA).remove_hs()
+    n = mol.num_atoms
+    logits = np.zeros((42, 42, 5), dtype=np.float32)
+    logits[..., 0] = 5.0
+    for i, j, o in mol.bonds:
+        logits[i, j, o] = 10.0
+        logits[j, i, o] = 10.0
+    out = redefine_bonds(mol, logits)
+    got = {(min(i, j), max(i, j), o) for i, j, o in out.bonds}
+    want = {(min(i, j), max(i, j), o) for i, j, o in mol.bonds}
+    assert got == want
+
+
+def test_largest_fragment():
+    # two disconnected pieces: 3 atoms vs 2 atoms
+    bonds = [(0, 1, 1), (1, 2, 1), (3, 4, 1)]
+    mol = Molecule(np.array([6, 6, 8, 6, 6]),
+                   np.arange(15).reshape(5, 3).astype(float), bonds)
+    frag = mol.largest_fragment()
+    assert frag.num_atoms == 3
+    assert frag.num_bonds == 2

@@ -1,0 +1,81 @@
+"""End-to-end pipeline tests with small random-weight models.
+
+Random weights cannot produce chemically valid molecules reliably, so these
+tests assert pipeline mechanics (shapes, routing, filtering, determinism)
+rather than chemistry quality — the statistical acceptance suite runs with
+trained weights (SURVEY.md §6).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_conformer_generator_tpu.chem import read_mol_file
+from ml_conformer_generator_tpu.config import EGNNConfig
+from ml_conformer_generator_tpu.generator import MLConformerGenerator
+
+CEYYAG = "/root/reference/assets/demo_files/ceyyag.mol"
+FRAG = "/root/reference/assets/demo_files/frag_yibfeu.mol"
+YIBFEU = "/root/reference/assets/demo_files/yibfeu.mol"
+
+
+@pytest.fixture(scope="module")
+def small_gen():
+    gen = MLConformerGenerator(diffusion_steps=6, seed=0)
+    # shrink the denoiser for CPU test speed
+    small_cfg = EGNNConfig(hidden_nf=48, n_blocks=3)
+    from ml_conformer_generator_tpu.diffusion.edm import EDMSampler
+    from ml_conformer_generator_tpu.models.egnn import init_egnn_params
+    import jax
+    gen.egnn_cfg = small_cfg
+    gen.edm_params = init_egnn_params(jax.random.PRNGKey(0), small_cfg)
+    gen.sampler = EDMSampler(small_cfg, gen.diff_cfg)
+    return gen
+
+
+def test_edm_samples_shapes(small_gen):
+    ctx = jnp.asarray([105.0, 473.0, 537.0])
+    mols = small_gen.edm_samples(ctx, n_samples=5, max_n_nodes=20,
+                                 min_n_nodes=16)
+    assert len(mols) == 5
+    for m in mols:
+        assert 16 <= m.num_atoms <= 20
+        assert m.num_bonds == 0
+        assert np.isfinite(m.coords).all()
+
+
+def test_generate_conformers_runs_full_pipeline(small_gen):
+    ref = read_mol_file(CEYYAG)
+    out = small_gen.generate_conformers(
+        reference_conformer=ref, n_samples=4, variance=2,
+        optimise_geometry=False)
+    # random weights -> most/all samples fail standardisation; pipeline must
+    # still complete and return a (possibly empty) list of valid molecules
+    assert isinstance(out, list)
+    for m in out:
+        assert m.num_bonds > 0
+
+
+def test_generate_from_context_requires_n_atoms(small_gen):
+    with pytest.raises(ValueError):
+        small_gen.generate_conformers(
+            reference_context=jnp.asarray([100.0, 400.0, 500.0]))
+
+
+def test_generate_from_arbitrary_context(small_gen):
+    out = small_gen.generate_conformers(
+        reference_context=jnp.asarray([105.0, 473.0, 537.0]), n_atoms=18,
+        n_samples=3, optimise_geometry=False)
+    assert isinstance(out, list)
+
+
+def test_fixed_fragment_paths(small_gen):
+    frag = read_mol_file(FRAG)
+    ref = read_mol_file(YIBFEU)
+    for ifm in (True, False):
+        out = small_gen.generate_conformers(
+            reference_conformer=ref, n_samples=3, variance=1,
+            fixed_fragment=frag, inertial_fragment_matching=ifm,
+            resample_steps=1, ifm_diffusion_level=3,
+            optimise_geometry=False)
+        assert isinstance(out, list)
