@@ -1,0 +1,2 @@
+from .loss import edm_training_loss
+from .step import init_train_state, make_optimizer, make_train_step
