@@ -41,18 +41,22 @@ def normalize_context(reference_context: jnp.ndarray,
 
 def prepare_edm_input(key, n_samples: int, reference_context: jnp.ndarray,
                       context_norms: Dict[str, Tuple[float, ...]],
-                      min_n_nodes: int, max_n_nodes: int
+                      min_n_nodes: int, max_n_nodes: int,
+                      n_nodes_pad: int = 0
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Random sizes in [min, max], masks, and the normalised broadcast context.
 
+    ``n_nodes_pad`` (>= max_n_nodes) pads the node axis beyond the largest
+    drawn size — used to bucket shapes and bound jit recompiles.
     Returns (node_mask, edge_mask, batch_context, n_nodes).
     """
+    N = max(max_n_nodes, n_nodes_pad)
     n_nodes = jax.random.randint(key, (n_samples,), min_n_nodes,
                                  max_n_nodes + 1)
-    node_mask, edge_mask = prepare_masks(n_nodes, max_n_nodes)
+    node_mask, edge_mask = prepare_masks(n_nodes, N)
     normed = normalize_context(reference_context, context_norms)
     batch_context = jnp.broadcast_to(
-        normed.reshape(1, 1, 3), (n_samples, max_n_nodes, 3)) * node_mask
+        normed.reshape(1, 1, 3), (n_samples, N, 3)) * node_mask
     return node_mask, edge_mask, batch_context, n_nodes
 
 
