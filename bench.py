@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--nodes", type=int, default=42)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="MXU compute precision for the denoiser MLPs")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,7 @@ def main() -> None:
     from ml_conformer_generator_tpu.utils.masks import prepare_edm_input
 
     dev = jax.devices()[0]
-    egnn_cfg = EGNNConfig()                      # production size: 420 x 9
+    egnn_cfg = EGNNConfig(compute_dtype=args.dtype)  # production size: 420 x 9
     diff_cfg = DiffusionConfig(timesteps=args.steps)
     adj_cfg = AdjMatSeerConfig()
 

@@ -77,6 +77,10 @@ class EGNNConfig:
     n_dims: int = 3
     normalization_factor: float = 100.0
     edge_feat_nf: int = 2        # [current d^2, initial d^2]
+    #: MXU compute precision for the edge/node MLPs. "bfloat16" runs the hot
+    #: matmuls on the MXU at full rate (f32 accumulation) while geometry
+    #: (coordinates, distances, CoM projections) stays float32.
+    compute_dtype: str = "float32"
 
     @property
     def total_node_nf(self) -> int:

@@ -176,12 +176,15 @@ def gcl_forward(params: Params, h: jnp.ndarray, edge_feat: jnp.ndarray,
     """Dense GCL (reference ``egnn.py:38-85``).
 
     h: (B, N, H); edge_feat: (B, N, N, E); node_mask: (B, N, 1);
-    edge_mask: (B, N, N, 1).
+    edge_mask: (B, N, N, 1). Runs in ``h.dtype``; the j-aggregation always
+    accumulates in float32.
     """
     mij = _edge_stack_apply(params["edge_0"], params["edge_1"], h, edge_feat)
     gate = jax.nn.sigmoid(_linear(params["att"], mij))       # (B, N, N, 1)
     msg = mij * gate * edge_mask
-    agg = jnp.sum(msg, axis=2) / normalization_factor        # (B, N, H)
+    acc_dtype = jnp.promote_types(jnp.float32, msg.dtype)
+    agg = (jnp.sum(msg, axis=2, dtype=acc_dtype)
+           / normalization_factor).astype(h.dtype)           # (B, N, H)
     # node update: Linear on [h, agg] via split weights, residual, mask
     w = params["node_0"]["w"]
     hdim = h.shape[-1]
@@ -197,9 +200,11 @@ def coord_update_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
     """Equivariant coordinate update (reference ``egnn.py:111-149``).
 
     coord_diff: (B, N, N, 3) unit difference vectors (x_i - x_j)/||.||.
+    Geometry (coordinates, translations) is always float32; the edge MLP runs
+    in ``h.dtype``.
     """
     m = _edge_stack_apply(params["coord_0"], params["coord_1"], h, edge_feat)
-    scal = m @ params["coord_out"]["w"]                       # (B, N, N, 1)
+    scal = (m @ params["coord_out"]["w"]).astype(x.dtype)     # (B, N, N, 1)
     trans = coord_diff * scal * edge_mask
     agg = jnp.sum(trans, axis=2) / normalization_factor       # (B, N, 3)
     return (x + agg) * node_mask
@@ -212,19 +217,21 @@ def block_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
     """One EquivariantBlock (reference ``egnn.py:188-222``).
 
     d0: (B, N, N, 1) squared distances of the *input* coordinates — a persistent
-    edge feature shared by every block.
+    edge feature shared by every block. Masks must match ``h.dtype``; geometry
+    (x, coord_diff) is always float32.
     """
     radial = pairwise_sq_dist(x)[..., None]                   # (B, N, N, 1)
     norm = jnp.sqrt(radial + 1e-8)
     diff = x[:, :, None, :] - x[:, None, :, :]
     coord_diff = diff / norm
-    edge_feat = jnp.concatenate([radial, d0], axis=-1)        # (B, N, N, 2)
+    edge_feat = jnp.concatenate([radial, d0],
+                                axis=-1).astype(h.dtype)      # (B, N, N, 2)
 
     nf = cfg.normalization_factor
     h = gcl_forward(params["gcl_0"], h, edge_feat, node_mask, edge_mask, nf)
     h = gcl_forward(params["gcl_1"], h, edge_feat, node_mask, edge_mask, nf)
     x = coord_update_forward(params["coord"], h, x, edge_feat, coord_diff,
-                             node_mask, edge_mask, nf)
+                             node_mask.astype(x.dtype), edge_mask, nf)
     h = h * node_mask
     return h, x
 
@@ -235,8 +242,21 @@ def egnn_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
     """EGNN backbone (reference ``egnn.py:305-401``).
 
     h: (B, N, total_node_nf); x: (B, N, 3); node_mask: (B, N, 1);
-    edge_mask: (B, N, N, 1). Returns final (h, x).
+    edge_mask: (B, N, N, 1). Returns final (h, x) in float32.
+
+    With ``cfg.compute_dtype == "bfloat16"`` the feature path (edge/node MLPs,
+    messages) runs on the MXU in bf16 with float32 j-sum accumulation, while
+    coordinates, distances and CoM projections stay float32.
     """
+    cd = jnp.dtype(cfg.compute_dtype)
+    if cd != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(cd)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        h = h.astype(cd)
+        node_mask = node_mask.astype(cd)
+        edge_mask = edge_mask.astype(cd)
+
     d0 = pairwise_sq_dist(x)[..., None]
     h = _linear(params["embedding"], h)
 
@@ -248,7 +268,7 @@ def egnn_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
     (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
     h = _linear(params["embedding_out"], h)
     h = h * node_mask
-    return h, x
+    return h.astype(x.dtype), x
 
 
 # ---------------------------------------------------------------------------
