@@ -11,6 +11,7 @@ from .featurize import (fragment_to_xh, prepare_adj_mat_seer_input,
 from .io import (from_mol_block, from_xyz_block, read_mol_file, read_sdf,
                  to_mol_block, to_xyz_block, write_sdf)
 from .mol import Molecule
+from .molgraph import MolGraph, vector_graph_sort
 from .perception import determine_connectivity, find_rings
 from .sanitize import SanitizeError, implicit_hydrogens, kekulize, sanitize
 from .standardize import standardize_batch, standardize_mol
@@ -18,6 +19,7 @@ from .standardize import standardize_batch, standardize_mol
 __all__ = [
     "Molecule", "SanitizeError", "bonds_from_adjacency_logits",
     "canonical_ranks", "canonicalise", "determine_connectivity", "find_rings",
+    "MolGraph", "vector_graph_sort",
     "fragment_to_xh", "from_mol_block", "from_xyz_block",
     "implicit_hydrogens", "kekulize", "prepare_adj_mat_seer_input",
     "read_mol_file", "read_sdf", "redefine_bonds", "samples_to_molecules",

@@ -81,6 +81,12 @@ class EGNNConfig:
     #: matmuls on the MXU at full rate (f32 accumulation) while geometry
     #: (coordinates, distances, CoM projections) stays float32.
     compute_dtype: str = "float32"
+    #: Fused Pallas edge-MLP kernel (ops/gcl_kernel.py): "auto" enables it on
+    #: TPU backends only, "on" forces it (interpret-mode off-TPU), "off"
+    #: always uses the pure-XLA dense path. Default "off": on v5e the XLA
+    #: dense path (fused dot+silu epilogues, VPU/MXU overlap) currently beats
+    #: the hand kernel (31 vs 53 ms/fwd at B=128) — see ops/gcl_kernel.py.
+    use_pallas: str = "off"
 
     @property
     def total_node_nf(self) -> int:

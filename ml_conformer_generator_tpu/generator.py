@@ -69,6 +69,8 @@ class MLConformerGenerator:
         adj_mat_seer_weights: Optional[str] = None,
         seed: int = 0,
         dtype=jnp.float32,
+        compute_dtype: str = "bfloat16",
+        use_pallas: str = "auto",
     ):
         self.dimension = dimension
         self.context_norms = context_norms
@@ -77,8 +79,11 @@ class MLConformerGenerator:
         self.max_n_nodes = max_n_nodes
         self.diffusion_steps = diffusion_steps
 
+        # bf16 feature path on the MXU (f32 geometry) + fused Pallas edge
+        # kernel on TPU backends: the production-speed defaults.
         self.egnn_cfg = EGNNConfig(in_node_nf=9, context_node_nf=3,
-                                   hidden_nf=420)
+                                   hidden_nf=420, compute_dtype=compute_dtype,
+                                   use_pallas=use_pallas)
         self.diff_cfg = DiffusionConfig(timesteps=diffusion_steps,
                                         noise_precision=1e-5)
         self.adj_cfg = AdjMatSeerConfig(dimension=dimension, n_hidden=2048,

@@ -141,6 +141,20 @@ def init_egnn_params(key, cfg: EGNNConfig, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _pallas_mode(cfg: EGNNConfig) -> Tuple[bool, bool]:
+    """Resolve cfg.use_pallas -> (enabled, interpret).
+
+    "auto" compiles the fused kernel only on real TPU backends; "on" forces it
+    everywhere (interpreted off-TPU, for tests); "off" uses pure XLA.
+    """
+    if cfg.use_pallas == "off":
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if cfg.use_pallas == "auto":
+        return on_tpu, False
+    return True, not on_tpu
+
+
 def pairwise_sq_dist(x: jnp.ndarray) -> jnp.ndarray:
     """Squared pairwise distances ``(B, N, N)`` from coords ``(B, N, 3)``.
 
@@ -172,19 +186,29 @@ def _edge_stack_apply(p0: Params, p1: Params, h: jnp.ndarray,
 
 def gcl_forward(params: Params, h: jnp.ndarray, edge_feat: jnp.ndarray,
                 node_mask: jnp.ndarray, edge_mask: jnp.ndarray,
-                normalization_factor: float = 100.0) -> jnp.ndarray:
+                normalization_factor: float = 100.0,
+                cfg: Optional[EGNNConfig] = None) -> jnp.ndarray:
     """Dense GCL (reference ``egnn.py:38-85``).
 
     h: (B, N, H); edge_feat: (B, N, N, E); node_mask: (B, N, 1);
     edge_mask: (B, N, N, 1). Runs in ``h.dtype``; the j-aggregation always
-    accumulates in float32.
+    accumulates in float32. With the fused Pallas kernel enabled the whole
+    edge stream (messages, gate, masked j-sum) stays in VMEM.
     """
-    mij = _edge_stack_apply(params["edge_0"], params["edge_1"], h, edge_feat)
-    gate = jax.nn.sigmoid(_linear(params["att"], mij))       # (B, N, N, 1)
-    msg = mij * gate * edge_mask
-    acc_dtype = jnp.promote_types(jnp.float32, msg.dtype)
-    agg = (jnp.sum(msg, axis=2, dtype=acc_dtype)
-           / normalization_factor).astype(h.dtype)           # (B, N, H)
+    use_pallas, interpret = _pallas_mode(cfg) if cfg is not None else (False,
+                                                                       False)
+    if use_pallas:
+        from ..ops.gcl_kernel import gcl_edge_aggregate
+        agg = gcl_edge_aggregate(params, h, edge_feat, edge_mask,
+                                 normalization_factor, interpret=interpret)
+    else:
+        mij = _edge_stack_apply(params["edge_0"], params["edge_1"], h,
+                                edge_feat)
+        gate = jax.nn.sigmoid(_linear(params["att"], mij))    # (B, N, N, 1)
+        msg = mij * gate * edge_mask
+        acc_dtype = jnp.promote_types(jnp.float32, msg.dtype)
+        agg = (jnp.sum(msg, axis=2, dtype=acc_dtype)
+               / normalization_factor).astype(h.dtype)        # (B, N, H)
     # node update: Linear on [h, agg] via split weights, residual, mask
     w = params["node_0"]["w"]
     hdim = h.shape[-1]
@@ -196,15 +220,24 @@ def gcl_forward(params: Params, h: jnp.ndarray, edge_feat: jnp.ndarray,
 def coord_update_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
                          edge_feat: jnp.ndarray, coord_diff: jnp.ndarray,
                          node_mask: jnp.ndarray, edge_mask: jnp.ndarray,
-                         normalization_factor: float = 100.0) -> jnp.ndarray:
+                         normalization_factor: float = 100.0,
+                         cfg: Optional[EGNNConfig] = None) -> jnp.ndarray:
     """Equivariant coordinate update (reference ``egnn.py:111-149``).
 
     coord_diff: (B, N, N, 3) unit difference vectors (x_i - x_j)/||.||.
     Geometry (coordinates, translations) is always float32; the edge MLP runs
     in ``h.dtype``.
     """
-    m = _edge_stack_apply(params["coord_0"], params["coord_1"], h, edge_feat)
-    scal = (m @ params["coord_out"]["w"]).astype(x.dtype)     # (B, N, N, 1)
+    use_pallas, interpret = _pallas_mode(cfg) if cfg is not None else (False,
+                                                                       False)
+    if use_pallas:
+        from ..ops.gcl_kernel import coord_edge_scalars
+        scal = coord_edge_scalars(params, h, edge_feat,
+                                  interpret=interpret).astype(x.dtype)
+    else:
+        m = _edge_stack_apply(params["coord_0"], params["coord_1"], h,
+                              edge_feat)
+        scal = (m @ params["coord_out"]["w"]).astype(x.dtype)  # (B, N, N, 1)
     trans = coord_diff * scal * edge_mask
     agg = jnp.sum(trans, axis=2) / normalization_factor       # (B, N, 3)
     return (x + agg) * node_mask
@@ -228,10 +261,12 @@ def block_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
                                 axis=-1).astype(h.dtype)      # (B, N, N, 2)
 
     nf = cfg.normalization_factor
-    h = gcl_forward(params["gcl_0"], h, edge_feat, node_mask, edge_mask, nf)
-    h = gcl_forward(params["gcl_1"], h, edge_feat, node_mask, edge_mask, nf)
+    h = gcl_forward(params["gcl_0"], h, edge_feat, node_mask, edge_mask, nf,
+                    cfg)
+    h = gcl_forward(params["gcl_1"], h, edge_feat, node_mask, edge_mask, nf,
+                    cfg)
     x = coord_update_forward(params["coord"], h, x, edge_feat, coord_diff,
-                             node_mask.astype(x.dtype), edge_mask, nf)
+                             node_mask.astype(x.dtype), edge_mask, nf, cfg)
     h = h * node_mask
     return h, x
 
