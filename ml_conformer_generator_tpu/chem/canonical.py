@@ -22,8 +22,13 @@ import numpy as np
 from .mol import Molecule
 
 
-def _initial_invariants(mol: Molecule) -> List[int]:
-    """Degree, element, charge — geometry-free starting invariants."""
+def _initial_invariants(mol: Molecule) -> List[tuple]:
+    """Degree, bond-order sum, element, charge — geometry-free invariants.
+
+    Plain tuples (not Python hashes) so the ranking is bit-reproducible across
+    processes and matches the native C++ implementation exactly
+    (``native/chemhost.cpp``).
+    """
     deg = [0] * mol.num_atoms
     order_sum = [0] * mol.num_atoms
     for i, j, o in mol.bonds:
@@ -31,11 +36,8 @@ def _initial_invariants(mol: Molecule) -> List[int]:
         deg[j] += 1
         order_sum[i] += o
         order_sum[j] += o
-    inv = []
-    for a in range(mol.num_atoms):
-        inv.append(hash((deg[a], order_sum[a], int(mol.atomic_nums[a]),
-                         int(mol.charges[a]))))
-    return inv
+    return [(deg[a], order_sum[a], int(mol.atomic_nums[a]),
+             int(mol.charges[a])) for a in range(mol.num_atoms)]
 
 
 def canonical_ranks(mol: Molecule, max_iters: int = 64) -> np.ndarray:
@@ -43,6 +45,10 @@ def canonical_ranks(mol: Molecule, max_iters: int = 64) -> np.ndarray:
     n = mol.num_atoms
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    from . import native
+    res = native.canonical_ranks(mol.atomic_nums, mol.charges, mol.bonds)
+    if res is not None:
+        return res
     adj = [[] for _ in range(n)]
     for i, j, o in mol.bonds:
         adj[i].append((j, o))
@@ -53,8 +59,8 @@ def canonical_ranks(mol: Molecule, max_iters: int = 64) -> np.ndarray:
     for _ in range(max_iters):
         new_inv = []
         for a in range(n):
-            neigh = sorted((ranks[b], o) for b, o in adj[a])
-            new_inv.append(hash((ranks[a], tuple(neigh))))
+            neigh = sorted((int(ranks[b]), o) for b, o in adj[a])
+            new_inv.append((int(ranks[a]), tuple(neigh)))
         new_ranks = _ranks_from_keys(new_inv)
         if np.array_equal(new_ranks, ranks) or len(set(new_ranks)) == n:
             ranks = new_ranks

@@ -50,9 +50,23 @@ def prepare_adj_mat_seer_input(mols: List[Molecule],
     dist = np.zeros((B, dimension, dimension), dtype=np.float32)
     adj = np.zeros((B, dimension, dimension), dtype=np.float32)
     eye = np.eye(dimension, dtype=np.float32)
+
+    # Perceive connectivity where needed, then canonical-rank the whole batch
+    # through the native worker pool in one call (chem/native.py); falls back
+    # to per-molecule Python ranking inside canonicalise().
+    from . import native
+    from .perception import determine_connectivity
+    bonded = [m if m.num_bonds > 0 else determine_connectivity(m)
+              for m in mols]
+    batch_ranks = native.canonical_ranks_batch(bonded)
+
     canon: List[Molecule] = []
-    for b, mol in enumerate(mols):
-        m = canonicalise(mol)  # perceives connectivity if bond-less
+    for b, mol in enumerate(bonded):
+        if batch_ranks is not None:
+            order = np.argsort(batch_ranks[b], kind="stable")
+            m = mol.renumber(order.tolist())
+        else:
+            m = canonicalise(mol)
         n = m.num_atoms
         elements[b] = m.elements_vector(dimension)
         dm = m.distance_matrix().astype(np.float32)

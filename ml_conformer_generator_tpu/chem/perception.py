@@ -24,6 +24,10 @@ def connectivity_from_distance(atomic_nums: np.ndarray, coords: np.ndarray,
                                tolerance: float = CONNECTIVITY_TOLERANCE
                                ) -> List[Tuple[int, int, int]]:
     """Single-order bonds for every atom pair closer than r_i + r_j + tol."""
+    from . import native
+    res = native.connectivity_from_distance(atomic_nums, coords, tolerance)
+    if res is not None:
+        return res
     n = len(atomic_nums)
     radii = np.array([periodic.covalent_radius(int(z)) for z in atomic_nums])
     d = coords[:, None, :] - coords[None, :, :]
@@ -55,6 +59,10 @@ def find_rings(mol: Molecule, max_size: int = 8) -> List[List[int]]:
     the graph with that bond removed; deduplicates. Sufficient for the ring
     systems the generator emits (organic rings of size 3-8).
     """
+    from . import native
+    res = native.find_rings(mol.num_atoms, mol.bonds, max_size)
+    if res is not None:
+        return res
     adj = mol.neighbors()
     rings: Set[Tuple[int, ...]] = set()
     for i, j, _ in mol.bonds:

@@ -1,0 +1,295 @@
+// Native host-chemistry worker for ml_conformer_generator_tpu.
+//
+// The reference delegates per-molecule host chemistry to RDKit's C++ core
+// through Python bindings (SURVEY.md §2.4); this framework's chemistry layer
+// is first-party, and this library is its native fast path: the per-sample
+// graph algorithms that sit between device stages of the generation pipeline
+// (conformer_generator.py:268-368 in the reference) and would otherwise run
+// as Python loops for every generated molecule.
+//
+// Exposed via a plain C ABI (loaded with ctypes from
+// ml_conformer_generator_tpu/chem/native.py; no pybind11 dependency):
+//   * connectivity-by-distance perception (covalent radii + 0.45 A tolerance,
+//     mirroring chem/perception.py:23-43);
+//   * Morgan-refinement canonical ranks with deterministic tie-breaking,
+//     bit-identical to chem/canonical.py:41-101 (both sides rank by plain
+//     lexicographic key comparison, no Python hashing);
+//   * bounded smallest-ring perception (chem/perception.py:51-106);
+//   * a std::thread worker pool for batched canonical ranking — the
+//     "standardization/valence worker pool" of the TPU-native design: one
+//     call canonicalises a whole generation batch while the TPU runs the
+//     next denoising batch.
+//
+// Build: native/build.sh (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <set>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Covalent radii (Cordero 2008), mirror of chem/periodic.py COVALENT_RADII.
+double covalent_radius(int z) {
+  switch (z) {
+    case 1:  return 0.31;
+    case 5:  return 0.84;
+    case 6:  return 0.76;
+    case 7:  return 0.71;
+    case 8:  return 0.66;
+    case 9:  return 0.57;
+    case 14: return 1.11;
+    case 15: return 1.07;
+    case 16: return 1.05;
+    case 17: return 1.02;
+    case 33: return 1.19;
+    case 34: return 1.20;
+    case 35: return 1.20;
+    case 53: return 1.39;
+    default: return 1.5;
+  }
+}
+
+using Key = std::vector<int64_t>;
+
+// Dense ranks from sortable keys; identical semantics to
+// chem/canonical.py::_ranks_from_keys: stable sort by key, rank = position at
+// which the key's group starts.
+std::vector<int64_t> ranks_from_keys(const std::vector<Key>& keys) {
+  const size_t n = keys.size();
+  std::vector<int32_t> order(n);
+  for (size_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) { return keys[a] < keys[b]; });
+  std::vector<int64_t> ranks(n, 0);
+  int64_t rank = 0;
+  for (size_t pos = 0; pos < n; ++pos) {
+    if (pos > 0 && keys[order[pos]] != keys[order[pos - 1]])
+      rank = static_cast<int64_t>(pos);
+    ranks[order[pos]] = rank;
+  }
+  return ranks;
+}
+
+bool all_distinct(const std::vector<int64_t>& ranks) {
+  std::vector<int64_t> s(ranks);
+  std::sort(s.begin(), s.end());
+  return std::adjacent_find(s.begin(), s.end()) == s.end();
+}
+
+void canonical_ranks_one(int n, const int32_t* z, const int32_t* charges,
+                         int nb, const int32_t* bonds, int64_t* out_ranks,
+                         int max_iters) {
+  if (n == 0) return;
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(n);
+  std::vector<int64_t> deg(n, 0), osum(n, 0);
+  for (int k = 0; k < nb; ++k) {
+    int32_t i = bonds[3 * k], j = bonds[3 * k + 1], o = bonds[3 * k + 2];
+    adj[i].push_back({j, o});
+    adj[j].push_back({i, o});
+    deg[i]++; deg[j]++;
+    osum[i] += o; osum[j] += o;
+  }
+
+  // Initial invariants: (degree, bond-order sum, element, charge).
+  std::vector<Key> keys(n);
+  for (int a = 0; a < n; ++a)
+    keys[a] = {deg[a], osum[a], z[a], charges ? charges[a] : 0};
+  std::vector<int64_t> ranks = ranks_from_keys(keys);
+
+  auto refine = [&](std::vector<int64_t>& r, int iters) {
+    for (int it = 0; it < iters; ++it) {
+      for (int a = 0; a < n; ++a) {
+        std::vector<std::pair<int64_t, int64_t>> neigh;
+        neigh.reserve(adj[a].size());
+        for (auto& [b, o] : adj[a]) neigh.push_back({r[b], o});
+        std::sort(neigh.begin(), neigh.end());
+        Key k;
+        k.reserve(1 + 2 * neigh.size());
+        k.push_back(r[a]);
+        for (auto& [rb, o] : neigh) { k.push_back(rb); k.push_back(o); }
+        keys[a] = std::move(k);
+      }
+      std::vector<int64_t> nr = ranks_from_keys(keys);
+      bool stable = (nr == r);
+      r = std::move(nr);
+      if (stable || all_distinct(r)) break;
+    }
+  };
+  refine(ranks, max_iters);
+
+  // Deterministic tie-breaking: lowest tied rank, lowest atom index wins.
+  while (!all_distinct(ranks)) {
+    std::vector<int> count(n, 0);
+    for (int a = 0; a < n; ++a) count[ranks[a]]++;
+    int64_t tied = -1;
+    for (int r = 0; r < n; ++r)
+      if (count[r] > 1) { tied = r; break; }
+    int first = -1;
+    for (int a = 0; a < n; ++a)
+      if (ranks[a] == tied) { first = a; break; }
+    for (int a = 0; a < n; ++a)
+      keys[a] = {ranks[a], (a == first) ? 0 : 1, 0};
+    ranks = ranks_from_keys(keys);
+    // Re-refine until stable (matches canonical.py:74-82, which loops on
+    // rank stability only).
+    for (int it = 0; it < max_iters; ++it) {
+      for (int a = 0; a < n; ++a) {
+        std::vector<std::pair<int64_t, int64_t>> neigh;
+        neigh.reserve(adj[a].size());
+        for (auto& [b, o] : adj[a]) neigh.push_back({ranks[b], o});
+        std::sort(neigh.begin(), neigh.end());
+        Key k;
+        k.reserve(1 + 2 * neigh.size());
+        k.push_back(ranks[a]);
+        for (auto& [rb, o] : neigh) { k.push_back(rb); k.push_back(o); }
+        keys[a] = std::move(k);
+      }
+      std::vector<int64_t> nr = ranks_from_keys(keys);
+      if (nr == ranks) break;
+      ranks = std::move(nr);
+    }
+  }
+  std::memcpy(out_ranks, ranks.data(), sizeof(int64_t) * n);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Connectivity perception (chem/perception.py:23-33 semantics).
+// coords: (n, 3) float64. out_pairs: (max_bonds, 2) int32 (i < j).
+// Returns number of bonds written, or -1 if max_bonds was too small.
+// ---------------------------------------------------------------------------
+int chemhost_connectivity(int n, const int32_t* z, const double* coords,
+                          double tolerance, int32_t* out_pairs,
+                          int max_bonds) {
+  std::vector<double> radii(n);
+  for (int i = 0; i < n; ++i) radii[i] = covalent_radius(z[i]);
+  int nb = 0;
+  for (int i = 0; i < n; ++i) {
+    for (int j = i + 1; j < n; ++j) {
+      double dx = coords[3 * i] - coords[3 * j];
+      double dy = coords[3 * i + 1] - coords[3 * j + 1];
+      double dz = coords[3 * i + 2] - coords[3 * j + 2];
+      double cutoff = radii[i] + radii[j] + tolerance;
+      if (dx * dx + dy * dy + dz * dz < cutoff * cutoff) {
+        if (nb >= max_bonds) return -1;
+        out_pairs[2 * nb] = i;
+        out_pairs[2 * nb + 1] = j;
+        ++nb;
+      }
+    }
+  }
+  return nb;
+}
+
+// ---------------------------------------------------------------------------
+// Canonical ranks (chem/canonical.py:41-101 semantics, bit-identical).
+// bonds: (nb, 3) int32 rows (i, j, order). out_ranks: (n,) int64.
+// ---------------------------------------------------------------------------
+void chemhost_canonical_ranks(int n, const int32_t* z, const int32_t* charges,
+                              int nb, const int32_t* bonds,
+                              int64_t* out_ranks) {
+  canonical_ranks_one(n, z, charges, nb, bonds, out_ranks, 64);
+}
+
+// ---------------------------------------------------------------------------
+// Batched canonical ranks over a worker pool. Molecule m occupies atoms
+// [atom_off[m], atom_off[m+1]) and bond rows [bond_off[m], bond_off[m+1]);
+// bond indices are molecule-local. n_threads <= 0 selects hardware count.
+// ---------------------------------------------------------------------------
+void chemhost_canonical_ranks_batch(int n_mols, const int32_t* atom_off,
+                                    const int32_t* bond_off, const int32_t* z,
+                                    const int32_t* charges,
+                                    const int32_t* bonds, int64_t* out_ranks,
+                                    int n_threads) {
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? static_cast<int>(hw) : 4;
+  }
+  n_threads = std::min(n_threads, n_mols > 0 ? n_mols : 1);
+  auto work = [&](int tid) {
+    for (int m = tid; m < n_mols; m += n_threads) {
+      int a0 = atom_off[m], a1 = atom_off[m + 1];
+      int b0 = bond_off[m], b1 = bond_off[m + 1];
+      canonical_ranks_one(a1 - a0, z + a0, charges ? charges + a0 : nullptr,
+                          b1 - b0, bonds + 3 * b0, out_ranks + a0, 64);
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(work, t);
+  for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Bounded smallest-ring perception (chem/perception.py:51-106 semantics):
+// for each bond, the shortest cycle through it (BFS with that edge removed),
+// deduplicated by atom set, emitted sorted by ring size.
+// out_atoms: flat ring atoms; out_sizes: (max_rings,). Returns ring count,
+// or -1 on overflow of either buffer (cap: max_atoms_total = capacity of
+// out_atoms assumed max_rings * max_size).
+// ---------------------------------------------------------------------------
+int chemhost_find_rings(int n, int nb, const int32_t* bonds, int max_size,
+                        int32_t* out_atoms, int32_t* out_sizes,
+                        int max_rings) {
+  std::vector<std::vector<int32_t>> adj(n);
+  for (int k = 0; k < nb; ++k) {
+    adj[bonds[3 * k]].push_back(bonds[3 * k + 1]);
+    adj[bonds[3 * k + 1]].push_back(bonds[3 * k]);
+  }
+  std::vector<std::vector<int32_t>> rings;
+  std::set<std::set<int32_t>> seen;
+  for (int k = 0; k < nb; ++k) {
+    int32_t src = bonds[3 * k], dst = bonds[3 * k + 1];
+    // BFS shortest path src -> dst avoiding edge (src, dst).
+    std::vector<int32_t> prev(n, -2);
+    prev[src] = -1;
+    std::deque<std::pair<int32_t, int>> q{{src, 0}};
+    std::vector<int32_t> path;
+    while (!q.empty()) {
+      auto [v, depth] = q.front();
+      q.pop_front();
+      if (depth >= max_size - 1) continue;
+      for (int32_t w : adj[v]) {
+        if ((v == src && w == dst) || (v == dst && w == src)) continue;
+        if (prev[w] != -2) continue;
+        prev[w] = v;
+        if (w == dst) {
+          for (int32_t c = w; c != -1; c = prev[c]) path.push_back(c);
+          std::reverse(path.begin(), path.end());
+          break;
+        }
+        q.push_back({w, depth + 1});
+      }
+      if (!path.empty()) break;
+    }
+    if (path.empty() || static_cast<int>(path.size()) > max_size) continue;
+    std::set<int32_t> key(path.begin(), path.end());
+    if (seen.insert(key).second) rings.push_back(path);
+  }
+  std::stable_sort(rings.begin(), rings.end(),
+                   [](const auto& a, const auto& b) {
+                     return a.size() < b.size();
+                   });
+  if (static_cast<int>(rings.size()) > max_rings) return -1;
+  int atom_pos = 0;
+  for (size_t r = 0; r < rings.size(); ++r) {
+    out_sizes[r] = static_cast<int32_t>(rings[r].size());
+    for (int32_t a : rings[r]) out_atoms[atom_pos++] = a;
+  }
+  return static_cast<int>(rings.size());
+}
+
+int chemhost_abi_version() { return 1; }
+
+}  // extern "C"
