@@ -18,7 +18,8 @@ __all__ = [
     "ATOM_DECODER", "CONTEXT_NORMS", "DIMENSION", "MAX_N_NODES", "MIN_N_NODES",
     "NUM_BOND_TYPES", "PERMITTED_ELEMENTS", "AdjMatSeerConfig",
     "DiffusionConfig", "EGNNConfig", "GeneratorConfig", "MLConformerGenerator",
-    "evaluate_samples", "__version__",
+    "evaluate_samples", "run_evaluation", "ffd", "fcd",
+    "principal_inertia_components", "__version__",
 ]
 
 
@@ -31,4 +32,16 @@ def __getattr__(name):
     if name == "evaluate_samples":
         from .eval.pipeline import evaluate_samples
         return evaluate_samples
+    if name == "run_evaluation":
+        from .eval.harness import run_evaluation
+        return run_evaluation
+    if name == "ffd":
+        from .eval.frechet import ffd
+        return ffd
+    if name == "fcd":
+        from .eval.fcd import fcd
+        return fcd
+    if name == "principal_inertia_components":
+        from .chem.stl import principal_inertia_components
+        return principal_inertia_components
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
