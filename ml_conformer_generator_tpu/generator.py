@@ -44,6 +44,7 @@ from .utils.fragments import (ifm_prepare_fragments_for_merge,
                               ifm_prepare_gen_fragment_context,
                               prepare_fragment)
 from .utils.masks import prepare_edm_input
+from .utils.metrics import StageTimer
 
 
 class MLConformerGenerator:
@@ -279,29 +280,39 @@ class MLConformerGenerator:
                 "Either a reference Molecule or context should be provided "
                 "for generation.")
 
-        raw = self.edm_samples(
-            reference_context=ref_context,
-            n_samples=n_samples,
-            min_n_nodes=ref_n_atoms - variance,
-            max_n_nodes=ref_n_atoms + variance,
-            resample_steps=resample_steps,
-            fixed_fragment=fixed_fragment,
-            inertial_fragment_matching=inertial_fragment_matching,
-            blend_power=blend_power,
-            ifm_diffusion_level=ifm_diffusion_level,
-        )
+        timer = StageTimer()
+        with timer.stage("edm_sampling"):
+            raw = self.edm_samples(
+                reference_context=ref_context,
+                n_samples=n_samples,
+                min_n_nodes=ref_n_atoms - variance,
+                max_n_nodes=ref_n_atoms + variance,
+                resample_steps=resample_steps,
+                fixed_fragment=fixed_fragment,
+                inertial_fragment_matching=inertial_fragment_matching,
+                blend_power=blend_power,
+                ifm_diffusion_level=ifm_diffusion_level,
+            )
 
-        elements, dist, adj, canon = prepare_adj_mat_seer_input(
-            raw, self.dimension)
+        with timer.stage("featurize"):
+            elements, dist, adj, canon = prepare_adj_mat_seer_input(
+                raw, self.dimension)
 
-        adj_logits = np.asarray(self._adj_fn(
-            self.adj_params, jnp.asarray(elements), jnp.asarray(dist),
-            jnp.asarray(adj)))
+        with timer.stage("bond_prediction"):
+            adj_logits = np.asarray(self._adj_fn(
+                self.adj_params, jnp.asarray(elements), jnp.asarray(dist),
+                jnp.asarray(adj)))
 
-        bonded = [redefine_bonds(canon[i], adj_logits[i])
-                  for i in range(len(canon))]
-        standardized = standardize_batch(bonded, optimise_geometry)
-        return [m for m in standardized if m is not None]
+        with timer.stage("standardize"):
+            bonded = [redefine_bonds(canon[i], adj_logits[i])
+                      for i in range(len(canon))]
+            standardized = standardize_batch(bonded, optimise_geometry)
+        valid = [m for m in standardized if m is not None]
+        timer.count("requested", n_samples)
+        timer.count("valid", len(valid))
+        #: per-stage latency + yield of the most recent request (SURVEY.md §5)
+        self.last_metrics = timer.summary()
+        return valid
 
     __call__ = generate_conformers
 

@@ -1,0 +1,53 @@
+"""ScreeningDriver tests on the 8-device virtual CPU mesh
+(parallel/screening.py; reference workload: research_scripts/evaluation.py)."""
+
+import jax
+import pytest
+
+from ml_conformer_generator_tpu.chem import read_mol_file
+from ml_conformer_generator_tpu.config import EGNNConfig
+from ml_conformer_generator_tpu.parallel.mesh import make_mesh
+from ml_conformer_generator_tpu.parallel.screening import ScreeningDriver
+
+CEYYAG = "/root/reference/assets/demo_files/ceyyag.mol"
+PABA = "/root/reference/assets/demo_files/paba.mol"
+
+
+@pytest.fixture(scope="module")
+def driver():
+    from ml_conformer_generator_tpu.diffusion.edm import EDMSampler
+    from ml_conformer_generator_tpu.generator import MLConformerGenerator
+    from ml_conformer_generator_tpu.models.egnn import init_egnn_params
+
+    gen = MLConformerGenerator(diffusion_steps=4, seed=0)
+    small = EGNNConfig(hidden_nf=32, n_blocks=2)
+    gen.egnn_cfg = small
+    gen.edm_params = init_egnn_params(jax.random.PRNGKey(0), small)
+    gen.sampler = EDMSampler(small, gen.diff_cfg)
+    mesh = make_mesh((8, 1))
+    return ScreeningDriver(gen, mesh)
+
+
+def test_screen_two_references(driver):
+    refs = [read_mol_file(CEYYAG), read_mol_file(CEYYAG)]
+    rep = driver.screen(refs, n_samples=6, variance=2, score=False)
+    assert rep.n_references == 2
+    assert rep.n_requested == 12
+    assert 0 <= rep.n_valid <= 12
+    assert rep.total_gen_time_s > 0
+
+
+def test_batch_rounds_to_mesh_multiple(driver):
+    # 6 requested on an 8-device data axis -> padded batch of 8, trimmed back
+    assert driver._round_batch(6) == 8
+    assert driver._round_batch(8) == 8
+    assert driver._round_batch(9) == 16
+
+
+def test_screen_with_scoring(driver):
+    # paba is an 10-heavy-atom molecule below MIN_N_NODES; generator clamps
+    rep = driver.screen([read_mol_file(CEYYAG)], n_samples=4, variance=2,
+                        score=True)
+    assert rep.n_valid == len(rep.samples)
+    if rep.n_valid:
+        assert 0.0 <= rep.avg_shape_tanimoto <= 1.0
