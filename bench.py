@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="MXU compute precision for the denoiser MLPs")
+    ap.add_argument("--pallas", default=None, choices=["on", "off", "auto"],
+                    help="override EGNNConfig.use_pallas")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of one timed repeat")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +54,10 @@ def main() -> None:
     from ml_conformer_generator_tpu.utils.masks import prepare_edm_input
 
     dev = jax.devices()[0]
-    egnn_cfg = EGNNConfig(compute_dtype=args.dtype)  # production size: 420 x 9
+    egnn_kw = {"compute_dtype": args.dtype}
+    if args.pallas is not None:
+        egnn_kw["use_pallas"] = args.pallas
+    egnn_cfg = EGNNConfig(**egnn_kw)  # production size: 420 x 9
     diff_cfg = DiffusionConfig(timesteps=args.steps)
     adj_cfg = AdjMatSeerConfig()
 
@@ -84,11 +91,15 @@ def main() -> None:
 
     times = []
     for i in range(args.repeats):
+        if args.profile and i == 1:
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         x, h = gen(params, jax.random.PRNGKey(100 + i))
         logits = adj_fwd(adj_params, elements, dist, adj)
         jax.block_until_ready((x, h, logits))
         times.append(time.perf_counter() - t0)
+        if args.profile and i == 1:
+            jax.profiler.stop_trace()
 
     best = min(times)
     samples_per_s = B / best

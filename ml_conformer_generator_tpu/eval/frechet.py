@@ -31,8 +31,24 @@ _EPS = 1e-6
 
 
 def fingerprint_matrix(mols: Sequence[Molecule], radius: int = 2,
-                       n_bits: int = 2048) -> np.ndarray:
-    """Dense (n_mols, n_bits) float64 Morgan fingerprint matrix."""
+                       n_bits: int = 2048, n_jobs: int = 0) -> np.ndarray:
+    """Dense (n_mols, n_bits) float64 Morgan fingerprint matrix.
+
+    ``n_jobs > 1`` fingerprints in a thread pool — the analog of the
+    reference's ProcessPoolExecutor FFD variant
+    (``research_scripts/ffd_fcd/ffd_optimized.py``); ``0`` picks a pool size
+    automatically for large sets.
+    """
+    if n_jobs == 0:
+        n_jobs = min(8, max(1, len(mols) // 256))
+    if n_jobs > 1 and len(mols) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            fps = list(pool.map(
+                lambda m: morgan_fingerprint(m, radius=radius, n_bits=n_bits
+                                             ).astype(np.float64), mols))
+        return np.stack(fps)
     return np.stack([
         morgan_fingerprint(m, radius=radius, n_bits=n_bits).astype(np.float64)
         for m in mols])

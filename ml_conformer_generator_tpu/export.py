@@ -73,36 +73,57 @@ def export_denoiser(params, cfg: EGNNConfig, batch: int, n_nodes: int
 
 
 def export_sampler(params, egnn_cfg: EGNNConfig, diff_cfg: DiffusionConfig,
-                   batch: int, n_nodes: int) -> jax_export.Exported:
-    """Export the full T-step reverse-diffusion sampler as one program."""
+                   batch: int, n_nodes: int, bake_params: bool = False
+                   ) -> jax_export.Exported:
+    """Export the full T-step reverse-diffusion sampler as one program.
+
+    ``bake_params=True`` embeds the weights as program constants — the
+    artifact is then self-contained like the reference's ONNX files and is
+    what :class:`~ml_conformer_generator_tpu.generator_aot.MLConformerGeneratorAOT`
+    consumes.
+    """
     B, N = batch, n_nodes
     sampler = EDMSampler(egnn_cfg, diff_cfg)
     gamma = jnp.asarray(gamma_schedule(diff_cfg.timesteps,
                                        diff_cfg.noise_precision,
                                        diff_cfg.schedule_power))
 
+    key_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    arg_sds = (key_sds, _sds((B, N, 1)), _sds((B, N, N, 1)),
+               _sds((B, N, egnn_cfg.context_node_nf)))
+
+    if bake_params:
+        def fn(key, node_mask, edge_mask, context):
+            return sampler.generate(params, key, gamma, node_mask, edge_mask,
+                                    context)
+
+        return jax_export.export(jax.jit(fn))(*arg_sds)
+
     def fn(params, key, node_mask, edge_mask, context):
         return sampler.generate(params, key, gamma, node_mask, edge_mask,
                                 context)
 
-    key_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    return jax_export.export(jax.jit(fn))(
-        _params_sds(params), key_sds, _sds((B, N, 1)), _sds((B, N, N, 1)),
-        _sds((B, N, egnn_cfg.context_node_nf)))
+    return jax_export.export(jax.jit(fn))(_params_sds(params), *arg_sds)
 
 
-def export_adj_mat_seer(params, cfg: AdjMatSeerConfig, batch: int
-                        ) -> jax_export.Exported:
+def export_adj_mat_seer(params, cfg: AdjMatSeerConfig, batch: int,
+                        bake_params: bool = False) -> jax_export.Exported:
     """Export the bond predictor (elements, dist_mat, adj_mat -> logits);
     reference unit: ``onnx_export_utils.py:114-153``."""
     B, D = batch, cfg.dimension
+    arg_sds = (_sds((B, D), jnp.int32), _sds((B, D, D)), _sds((B, D, D)))
+
+    if bake_params:
+        def fn(elements, dist_mat, adj_mat):
+            return adj_mat_seer_forward(params, elements, dist_mat, adj_mat,
+                                        cfg)
+
+        return jax_export.export(jax.jit(fn))(*arg_sds)
 
     def fn(params, elements, dist_mat, adj_mat):
         return adj_mat_seer_forward(params, elements, dist_mat, adj_mat, cfg)
 
-    return jax_export.export(jax.jit(fn))(
-        _params_sds(params), _sds((B, D), jnp.int32), _sds((B, D, D)),
-        _sds((B, D, D)))
+    return jax_export.export(jax.jit(fn))(_params_sds(params), *arg_sds)
 
 
 def save_exported(exp: jax_export.Exported, path: str) -> None:
@@ -134,17 +155,21 @@ def export_generator_artifacts(generator, out_dir: str, batch: int = 32,
     }
     save_exported(
         export_sampler(generator.edm_params, egnn_cfg, generator.diff_cfg,
-                       batch, N), paths["sampler"])
+                       batch, N, bake_params=True), paths["sampler"])
     save_exported(
         export_denoiser(generator.edm_params, egnn_cfg, batch, N),
         paths["denoiser"])
     save_exported(
-        export_adj_mat_seer(generator.adj_params, generator.adj_cfg, batch),
+        export_adj_mat_seer(generator.adj_params, generator.adj_cfg, batch,
+                            bake_params=True),
         paths["adj_mat_seer"])
 
     manifest = {
         "batch": batch,
         "n_nodes": N,
+        "baked_params": ["sampler", "adj_mat_seer"],
+        "min_n_nodes": generator.min_n_nodes,
+        "max_n_nodes": generator.max_n_nodes,
         "diffusion_steps": generator.diffusion_steps,
         "egnn": {"hidden_nf": egnn_cfg.hidden_nf,
                  "n_blocks": egnn_cfg.n_blocks,

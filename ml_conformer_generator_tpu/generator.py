@@ -43,7 +43,7 @@ from .ops.moi import get_context_shape, inverse_coord_transform
 from .utils.fragments import (ifm_prepare_fragments_for_merge,
                               ifm_prepare_gen_fragment_context,
                               prepare_fragment)
-from .utils.masks import prepare_edm_input
+from .utils.masks import pad_to_bucket, prepare_edm_input
 from .utils.metrics import StageTimer
 
 
@@ -181,10 +181,15 @@ class MLConformerGenerator:
         """Run the diffusion stage; returns bond-less molecules."""
         min_n_nodes = max(min_n_nodes, self.min_n_nodes)
         max_n_nodes = min(max_n_nodes, self.max_n_nodes)
+        # Pad the node axis to a bucket boundary: sizes are drawn in
+        # [min, max] as before, but the compiled sampler shape only changes
+        # per bucket, bounding 100-step-program recompiles across requests
+        # of nearby sizes (SURVEY.md §7 hard part 5).
+        n_pad = pad_to_bucket(max_n_nodes, 8)
 
         node_mask, edge_mask, batch_context, n_nodes = prepare_edm_input(
             self._next_key(), n_samples, jnp.asarray(reference_context),
-            self.context_norms, min_n_nodes, max_n_nodes)
+            self.context_norms, min_n_nodes, max_n_nodes, n_nodes_pad=n_pad)
 
         if fixed_fragment is None:
             x, h = self._get_generate(resample_steps)(
@@ -193,13 +198,13 @@ class MLConformerGenerator:
         elif inertial_fragment_matching:
             x, h = self._ifm_samples(
                 reference_context, node_mask, edge_mask, batch_context,
-                n_nodes, fixed_fragment, max_n_nodes, min_n_nodes,
+                n_nodes, fixed_fragment, n_pad, min_n_nodes,
                 resample_steps, blend_power, ifm_diffusion_level)
         else:
             frag_x, frag_h = fragment_to_xh(fixed_fragment)
             z_known, fixed_mask = prepare_fragment(
                 n_samples, jnp.asarray(frag_x), jnp.asarray(frag_h),
-                max_n_nodes, min_n_nodes)
+                n_pad, min_n_nodes)
             x, h = self._get_inpaint(resample_steps, blend_power)(
                 self.edm_params, self._next_key(), self.gamma, node_mask,
                 edge_mask, batch_context, z_known, fixed_mask)
