@@ -161,6 +161,27 @@ def load_torch_adj_mat_seer(path: str) -> Params:
     return torch_names_to_adj_mat_seer_params(state)
 
 
+def load_onnx_edm(path: str, cfg: EGNNConfig) -> Params:
+    """Import the reference's ONNX EDM artifact (``egnn_chembl_15_39.onnx``).
+
+    Initializer names of dynamo-based torch exports keep parameter FQNs, so
+    the tensors map through the same name table as the torch state dicts.
+    """
+    from .onnx_weights import read_onnx_initializers
+
+    state = read_onnx_initializers(path)
+    prefix = ("dynamics.egnn."
+              if any(k.startswith("dynamics.egnn.") for k in state)
+              else "egnn.")
+    return torch_names_to_egnn_params(state, cfg, prefix=prefix)
+
+
+def load_onnx_adj_mat_seer(path: str) -> Params:
+    from .onnx_weights import read_onnx_initializers
+
+    return torch_names_to_adj_mat_seer_params(read_onnx_initializers(path))
+
+
 # ---------------------------------------------------------------------------
 # Native npz persistence
 # ---------------------------------------------------------------------------

@@ -98,6 +98,9 @@ class MLConformerGenerator:
             self.edm_params = init_egnn_params(k_edm, self.egnn_cfg, dtype)
         elif edm_weights.endswith(".npz"):
             self.edm_params = load_params(edm_weights)
+        elif edm_weights.endswith(".onnx"):
+            from .checkpoint import load_onnx_edm
+            self.edm_params = load_onnx_edm(edm_weights, self.egnn_cfg)
         else:
             self.edm_params = load_torch_edm(edm_weights, self.egnn_cfg)
 
@@ -106,6 +109,9 @@ class MLConformerGenerator:
                                                        dtype)
         elif adj_mat_seer_weights.endswith(".npz"):
             self.adj_params = load_params(adj_mat_seer_weights)
+        elif adj_mat_seer_weights.endswith(".onnx"):
+            from .checkpoint import load_onnx_adj_mat_seer
+            self.adj_params = load_onnx_adj_mat_seer(adj_mat_seer_weights)
         else:
             self.adj_params = load_torch_adj_mat_seer(adj_mat_seer_weights)
 
