@@ -42,6 +42,29 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
+def make_two_level_mesh(axis_names: Sequence[str] = ("data", "edge"),
+                        devices=None) -> Mesh:
+    """Two-level (DCN hosts x ICI chips) mesh for multi-host runs.
+
+    Maps the ``data`` axis across hosts (batch exchanges only touch DCN at
+    optimiser boundaries) and the ``edge`` axis across the chips of each host
+    (the per-layer aggregation ``psum`` of the edge-sharded EGNN rides ICI) —
+    the layout SURVEY.md §7.7 calls for. On a single host this degenerates to
+    ``(1, n_chips)``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_hosts = max(d.process_index for d in devices) + 1
+    per_host = len(devices) // n_hosts
+    arr = np.empty((n_hosts, per_host), dtype=object)
+    counts = [0] * n_hosts
+    for d in devices:
+        p = d.process_index
+        arr[p, counts[p]] = d
+        counts[p] += 1
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
 def data_sharding(mesh: Mesh, *batch_axes: Optional[str]) -> NamedSharding:
     """NamedSharding with the leading axis over 'data', rest replicated."""
     return NamedSharding(mesh, P("data", *batch_axes))

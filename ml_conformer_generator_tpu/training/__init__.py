@@ -1,2 +1,4 @@
+from .data import MoleculeDataset, batches, prefetch
+from .loop import train
 from .loss import edm_training_loss
 from .step import init_train_state, make_optimizer, make_train_step

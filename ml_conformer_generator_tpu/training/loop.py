@@ -1,0 +1,72 @@
+"""Training driver: epochs of sharded EDM steps with prefetch + checkpoints.
+
+Completes the training stack (the reference is inference-only; SURVEY.md §5
+checkpoint/resume plan): data pipeline (:mod:`.data`) -> mesh-sharded train
+step (:mod:`.step`) -> periodic ``.npz`` checkpoints via
+:mod:`..checkpoint`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint import save_params
+from ..config import DiffusionConfig, EGNNConfig
+from ..diffusion.schedule import gamma_schedule
+from ..models.egnn import init_egnn_params
+from ..parallel.mesh import make_mesh
+from .data import MoleculeDataset, batches, prefetch
+from .step import init_train_state, make_optimizer, make_train_step
+
+__all__ = ["train"]
+
+
+def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
+          diff_cfg: Optional[DiffusionConfig] = None, batch_size: int = 64,
+          epochs: int = 1, lr: float = 1e-4, seed: int = 0,
+          mesh=None, params=None, checkpoint_path: Optional[str] = None,
+          checkpoint_every: int = 500, log_every: int = 50,
+          log_fn: Callable[[str], None] = print) -> Dict:
+    """Train the EGNN denoiser; returns {params, opt_state, history}."""
+    diff_cfg = diff_cfg or DiffusionConfig()
+    mesh = mesh or make_mesh((len(jax.devices()), 1))
+    key = jax.random.PRNGKey(seed)
+    if params is None:
+        key, init_key = jax.random.split(key)
+        params = init_egnn_params(init_key, egnn_cfg)
+
+    optimizer = make_optimizer(lr=lr)
+    opt_state = init_train_state(params, optimizer)
+    step_fn = make_train_step(mesh, egnn_cfg, diff_cfg, optimizer)
+    gamma = jnp.asarray(gamma_schedule(diff_cfg.timesteps,
+                                       diff_cfg.noise_precision,
+                                       diff_cfg.schedule_power))
+
+    rng = np.random.default_rng(seed)
+    history = []
+    step = 0
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        it = prefetch(batches(dataset, batch_size, rng=rng))
+        for batch in it:
+            key, sub = jax.random.split(key)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, metrics = step_fn(params, opt_state, sub, jb,
+                                                 gamma)
+            step += 1
+            if step % log_every == 0:
+                loss = float(metrics["loss"])
+                history.append({"step": step, "epoch": epoch, "loss": loss})
+                rate = step * batch_size / (time.perf_counter() - t0)
+                log_fn(f"[train] epoch {epoch} step {step} "
+                       f"loss {loss:.5f} ({rate:.1f} mol/s)")
+            if checkpoint_path and step % checkpoint_every == 0:
+                save_params(checkpoint_path, params)
+    if checkpoint_path:
+        save_params(checkpoint_path, params)
+    return {"params": params, "opt_state": opt_state, "history": history}
