@@ -84,8 +84,10 @@ class EGNNConfig:
     #: Fused Pallas edge-MLP kernel (ops/gcl_kernel.py): "auto" enables it on
     #: TPU backends only, "on" forces it (interpret-mode off-TPU), "off"
     #: always uses the pure-XLA dense path. Default "off": on v5e the XLA
-    #: dense path (fused dot+silu epilogues, VPU/MXU overlap) currently beats
-    #: the hand kernel (31 vs 53 ms/fwd at B=128) — see ops/gcl_kernel.py.
+    #: dense path (fused dot+silu epilogues) still edges out the hand kernel
+    #: end-to-end (kernel-only 2.35 vs 2.40 ms/GCL-pass at B=128, but the
+    #: kernel path pays extra glue around the custom call) — measurements in
+    #: ops/gcl_kernel.py.
     use_pallas: str = "off"
 
     @property
