@@ -4,8 +4,21 @@
 Measures raw samples/s through the full-size generation stack — the 420-wide
 9-block EGNN denoiser driven for the full 100-step reverse diffusion as ONE
 jitted program, plus the AdjMatSeer bond-prediction forward — at the
-reference's published working point (100 denoising steps, 42-node padded
-graphs; reference ``README.md:104-121``).
+reference's published working point.
+
+Workloads:
+
+* ``--workload screen`` (default): replays the reference's evaluation
+  protocol (``research_scripts/evaluation.py``: per-reference requests,
+  sample sizes drawn in [n_ref - variance, n_ref + variance] with
+  variance=2, references spanning 15-39 heavy atoms). Like the reference —
+  which pads each request to its own ``max_n_nodes``
+  (``conformer_generator.py:130,166-167``; ``mol_utils.py:276-280``) — each
+  request runs at its own bucketed node count, so this measures the same
+  mixed-size distribution the H100 baseline numbers were measured on.
+* ``--workload fixed``: every sample at the worst-case padded size
+  (``--nodes``, default 42) — the conservative lower bound reported by
+  earlier rounds.
 
 Baseline: the reference generates 4.18 *valid* molecules/s on an NVIDIA H100
 at 48% post-standardization validity (`BASELINE.md`), i.e. ~8.71 raw
@@ -27,9 +40,17 @@ REFERENCE_RAW_SAMPLES_PER_S = 4.18 / 0.48  # H100, README.md:108-115
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--workload", default="screen",
+                    choices=["screen", "fixed"])
+    ap.add_argument("--batch", type=int, default=128,
+                    help="samples per request")
+    ap.add_argument("--requests", type=int, default=25,
+                    help="screen workload: number of reference requests")
+    ap.add_argument("--variance", type=int, default=2,
+                    help="screen workload: size spread around each reference")
     ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--nodes", type=int, default=42)
+    ap.add_argument("--nodes", type=int, default=42,
+                    help="fixed workload: padded node count")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
@@ -67,14 +88,14 @@ def main() -> None:
     sampler = EDMSampler(egnn_cfg, diff_cfg)
     gamma = jnp.asarray(gamma_schedule(args.steps))
 
-    B, N = args.batch, args.nodes
-    node_mask, edge_mask, context, _ = prepare_edm_input(
-        jax.random.PRNGKey(2), B, jnp.asarray([105.0, 473.0, 537.0]),
-        CONTEXT_NORMS, min_n_nodes=25, max_n_nodes=min(39, N - 1),
-        n_nodes_pad=N)
+    import numpy as np
 
-    gen = jax.jit(lambda p, k: sampler.generate(p, k, gamma, node_mask,
-                                                edge_mask, context))
+    from ml_conformer_generator_tpu.utils.masks import pad_to_bucket
+
+    B = args.batch
+    # jit caches one executable per input-shape bucket automatically.
+    gen = jax.jit(lambda p, k, nm, em, ctx: sampler.generate(
+        p, k, gamma, nm, em, ctx))
     adj_fwd = jax.jit(lambda p, e, d, a: adj_mat_seer_forward(p, e, d, a,
                                                               adj_cfg))
 
@@ -84,29 +105,63 @@ def main() -> None:
     dist = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (B, D, D)))
     adj = (dist < 1.0).astype(jnp.float32)
 
-    # Warmup / compile.
-    x, h = gen(params, jax.random.PRNGKey(10))
-    logits = adj_fwd(adj_params, elements, dist, adj)
-    jax.block_until_ready((x, h, logits))
+    # Build the request list: (node_mask, edge_mask, context) per request.
+    ref_ctx = jnp.asarray([105.0, 473.0, 537.0])
+    if args.workload == "fixed":
+        inp = prepare_edm_input(
+            jax.random.PRNGKey(2), B, ref_ctx, CONTEXT_NORMS,
+            min_n_nodes=25, max_n_nodes=min(39, args.nodes - 1),
+            n_nodes_pad=args.nodes)
+        requests = [inp[:3]]
+        shape_desc = f"N={args.nodes}"
+    else:
+        # Reference evaluation protocol: requests around references of
+        # 15-39 heavy atoms, sizes in [n_ref - v, n_ref + v], each request
+        # padded to its own (bucketed) max size.
+        host_rng = np.random.default_rng(0)
+        n_refs = host_rng.integers(15, 40, size=args.requests)
+        requests = []
+        for i, n_ref in enumerate(sorted(int(n) for n in n_refs)):
+            mn = max(15, n_ref - args.variance)
+            mx = min(39, n_ref + args.variance)
+            inp = prepare_edm_input(
+                jax.random.PRNGKey(1000 + i), B, ref_ctx, CONTEXT_NORMS,
+                min_n_nodes=mn, max_n_nodes=mx,
+                n_nodes_pad=pad_to_bucket(mx, 8))
+            requests.append(inp[:3])
+        shape_desc = (f"{args.requests} refs 15-39 ±{args.variance}, "
+                      f"buckets of 8")
+
+    # Warmup / compile: one call per distinct shape bucket.
+    seen = set()
+    for nm, em, ctx in requests:
+        if nm.shape not in seen:
+            seen.add(nm.shape)
+            jax.block_until_ready(gen(params, jax.random.PRNGKey(10),
+                                      nm, em, ctx))
+    jax.block_until_ready(adj_fwd(adj_params, elements, dist, adj))
 
     times = []
     for i in range(args.repeats):
         if args.profile and i == 1:
             jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
-        x, h = gen(params, jax.random.PRNGKey(100 + i))
-        logits = adj_fwd(adj_params, elements, dist, adj)
-        jax.block_until_ready((x, h, logits))
+        outs = []
+        for r, (nm, em, ctx) in enumerate(requests):
+            outs.append(gen(params, jax.random.PRNGKey(100 + 31 * i + r),
+                            nm, em, ctx))
+            outs.append(adj_fwd(adj_params, elements, dist, adj))
+        jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
         if args.profile and i == 1:
             jax.profiler.stop_trace()
 
     best = min(times)
-    samples_per_s = B / best
+    samples_per_s = B * len(requests) / best
     print(json.dumps({
         "metric": "edm_samples_per_s",
         "value": round(samples_per_s, 3),
-        "unit": f"samples/s (batch {B}, {args.steps} steps, N={N}, "
+        "unit": f"samples/s (batch {B}, {args.steps} steps, {shape_desc}, "
                 f"{dev.platform})",
         "vs_baseline": round(samples_per_s / REFERENCE_RAW_SAMPLES_PER_S, 3),
     }))

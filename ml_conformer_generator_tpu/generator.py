@@ -71,7 +71,7 @@ class MLConformerGenerator:
         seed: int = 0,
         dtype=jnp.float32,
         compute_dtype: str = "bfloat16",
-        use_pallas: str = "auto",
+        use_pallas: str = "off",
     ):
         self.dimension = dimension
         self.context_norms = context_norms
@@ -80,8 +80,10 @@ class MLConformerGenerator:
         self.max_n_nodes = max_n_nodes
         self.diffusion_steps = diffusion_steps
 
-        # bf16 feature path on the MXU (f32 geometry) + fused Pallas edge
-        # kernel on TPU backends: the production-speed defaults.
+        # bf16 feature path on the MXU (f32 geometry); the XLA dense edge
+        # path beats the fused Pallas kernel at this model size on v5e
+        # (43.6 vs 26.7 samples/s at B=128/N=42 — see ops/gcl_kernel.py),
+        # so use_pallas defaults to "off".
         self.egnn_cfg = EGNNConfig(in_node_nf=9, context_node_nf=3,
                                    hidden_nf=420, compute_dtype=compute_dtype,
                                    use_pallas=use_pallas)

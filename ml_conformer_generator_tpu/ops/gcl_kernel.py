@@ -26,6 +26,24 @@ Kernel construction notes (TPU/Mosaic):
 * Matmuls request ``preferred_element_type=float32``; in bfloat16 mode the
   operands are bf16 (full-rate MXU) and the accumulator f32, matching the
   XLA path in ``models/egnn.py``.
+
+Measured verdict (v5e, B=128, N=42, H=420, bf16; scan-amortized via
+``scripts/kernel_microbench.py`` — per-call timing is polluted by ~1.4 ms of
+axon-tunnel dispatch latency):
+
+* XLA dense path 1.39 ms/GCL-pass, this kernel 1.96 ms/GCL-pass.
+* Why the fusion doesn't win here: the XLA path is already within ~1.4x of
+  its HBM floor and overlaps HBM streaming with MXU work, while inside one
+  Pallas grid step the MXU phases (main GEMM ~4.7 us + sel-expansion GEMM
+  ~1.2 us per batch element, both at 420->512 lane padding) and the VPU
+  phases (two SiLUs, sigmoid gate, masked j-sum, ~3-5 us) execute serially,
+  so the kernel's floor is ~= XLA parity, not the 2-3x a pure-bandwidth
+  model predicts. Beating XLA would need cross-phase software pipelining
+  (``pltpu.emit_pipeline``) — not worth it at this model size.
+* Hence ``EGNNConfig.use_pallas`` defaults to "off"; the kernel remains as
+  the building block for the mega-batch edge-stream regime (SURVEY.md §7
+  step 2) and as a Pallas reference implementation, and stays covered by
+  ``tests/test_pallas_kernel.py`` in interpret mode.
 """
 
 from __future__ import annotations
