@@ -18,9 +18,16 @@ def bonds_from_adjacency_logits(adj_logits: np.ndarray,
                                 n_atoms: int) -> List[Tuple[int, int, int]]:
     """argmax over bond-type channels -> (i, j, order) list, i > j.
 
-    adj_logits: (D, D, num_bond_types) symmetrised logits.
+    adj_logits: (D, D, num_bond_types) symmetrised logits, OR an already
+    argmax-decoded (D, D) integer bond-type matrix (the device-side decode
+    path: the generator argmaxes on the TPU so only int8 types cross the
+    host boundary — 20x less transfer than float32 logits).
     """
-    pred = np.argmax(adj_logits[:n_atoms, :n_atoms], axis=-1)
+    adj_logits = np.asarray(adj_logits)
+    if adj_logits.ndim == 3:
+        pred = np.argmax(adj_logits[:n_atoms, :n_atoms], axis=-1)
+    else:
+        pred = adj_logits[:n_atoms, :n_atoms]
     pred = np.tril(pred, k=-1)  # lower triangle, diagonal removed
     ii, jj = np.nonzero(pred)
     return [(int(i), int(j), int(pred[i, j])) for i, j in zip(ii, jj)]
@@ -30,7 +37,8 @@ def redefine_bonds(mol: Molecule, adj_logits: np.ndarray) -> Molecule:
     """Replace all bonds of ``mol`` with the predicted ones (reference :197-223).
 
     Atom order must match the order the logits were predicted for (the
-    canonicalised order fed to AdjMatSeer).
+    canonicalised order fed to AdjMatSeer). ``adj_logits`` may be (D, D, 5)
+    logits or a (D, D) decoded bond-type matrix.
     """
     out = mol.copy()
     out.charges = np.zeros_like(out.charges)

@@ -126,7 +126,13 @@ class MLConformerGenerator:
         self._generate_fn = {}
         self._inpaint_fn = {}
         self._merge_fn = {}
-        self._adj_fn = jax.jit(partial(adj_mat_seer_forward, cfg=self.adj_cfg))
+        # Bond-type argmax runs ON DEVICE: only a (B, D, D) int8 matrix
+        # crosses the host boundary, not (B, D, D, 5) float32 logits — a
+        # 20x transfer cut that matters through this machine's TPU relay.
+        self._adj_fn = jax.jit(
+            lambda p, e, d, a: jnp.argmax(
+                adj_mat_seer_forward(p, e, d, a, self.adj_cfg),
+                axis=-1).astype(jnp.int8))
 
     # ------------------------------------------------------------------
     # RNG
@@ -312,12 +318,13 @@ class MLConformerGenerator:
                 raw, self.dimension)
 
         with timer.stage("bond_prediction"):
-            adj_logits = np.asarray(self._adj_fn(
+            # (B, D, D) int8 bond types, argmax-decoded on device
+            adj_types = np.asarray(self._adj_fn(
                 self.adj_params, jnp.asarray(elements), jnp.asarray(dist),
                 jnp.asarray(adj)))
 
         with timer.stage("standardize"):
-            bonded = [redefine_bonds(canon[i], adj_logits[i])
+            bonded = [redefine_bonds(canon[i], adj_types[i])
                       for i in range(len(canon))]
             standardized = standardize_batch(bonded, optimise_geometry)
         valid = [m for m in standardized if m is not None]

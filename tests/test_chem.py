@@ -156,6 +156,12 @@ def test_redefine_bonds_from_logits():
     got = {(min(i, j), max(i, j), o) for i, j, o in out.bonds}
     want = {(min(i, j), max(i, j), o) for i, j, o in mol.bonds}
     assert got == want
+    # device-side decode path: an argmax-decoded int8 (D, D) bond-type
+    # matrix must give identical bonds to the float32 logits
+    types = np.argmax(logits, axis=-1).astype(np.int8)
+    out2 = redefine_bonds(mol, types)
+    got2 = {(min(i, j), max(i, j), o) for i, j, o in out2.bonds}
+    assert got2 == want
 
 
 def test_largest_fragment():
