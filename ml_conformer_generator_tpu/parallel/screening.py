@@ -38,7 +38,7 @@ from ..eval.harness import EvaluationReport, _acc
 from ..eval.frechet import identity_key
 from ..eval.pipeline import evaluate_samples
 from ..ops.moi import get_context_shape
-from ..utils.masks import prepare_edm_input
+from ..utils.masks import pad_to_bucket, prepare_edm_input
 from .mesh import make_mesh
 
 __all__ = ["ScreeningDriver"]
@@ -87,10 +87,14 @@ class ScreeningDriver:
         coords = coords - jnp.mean(coords, axis=0)
         ref_context, _ = get_context_shape(coords)
         B = self._round_batch(n_samples)
+        mx = min(ref.num_atoms + variance, gen.max_n_nodes)
+        # Bucket the node axis (multiple of 8): references of nearby sizes
+        # share one compiled 100-step program instead of re-tracing per
+        # distinct ref size (~30 s/compile on TPU; <=4 buckets total).
         node_mask, edge_mask, context, _ = prepare_edm_input(
             gen._next_key(), B, ref_context, gen.context_norms,
-            max(ref.num_atoms - variance, gen.min_n_nodes),
-            min(ref.num_atoms + variance, gen.max_n_nodes))
+            max(ref.num_atoms - variance, gen.min_n_nodes), mx,
+            n_nodes_pad=pad_to_bucket(mx, 8))
         dev = lambda a, s: jax.device_put(a, s)
         x, h = self._sample(gen.edm_params, gen._next_key(), gen.gamma,
                             dev(node_mask, self._shard_batched),
@@ -108,10 +112,11 @@ class ScreeningDriver:
                                     np.asarray(node_mask), gen.atom_decoder)
         elements, dist, adj, canon = prepare_adj_mat_seer_input(
             mols, gen.dimension)
-        logits = np.asarray(self._adj(
+        # (B, D, D) int8 bond types — argmax-decoded on device (gen._adj_fn)
+        bond_types = np.asarray(self._adj(
             gen.adj_params, jnp.asarray(elements), jnp.asarray(dist),
             jnp.asarray(adj)))
-        bonded = [redefine_bonds(canon[i], logits[i])
+        bonded = [redefine_bonds(canon[i], bond_types[i])
                   for i in range(min(n_samples, len(canon)))]
         return [m for m in standardize_batch(bonded, True) if m is not None]
 

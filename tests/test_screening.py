@@ -44,6 +44,16 @@ def test_batch_rounds_to_mesh_multiple(driver):
     assert driver._round_batch(9) == 16
 
 
+def test_dispatch_buckets_node_axis(driver):
+    # references of nearby sizes must land on the same 8-bucketed node
+    # padding so the 100-step program compiles once per bucket, not per
+    # distinct reference size
+    ref = read_mol_file(CEYYAG).remove_hs()
+    _, (x, _, node_mask), _ = driver._dispatch(ref, n_samples=4, variance=2)
+    assert node_mask.shape[1] % 8 == 0
+    assert x.shape[1] == node_mask.shape[1]
+
+
 def test_screen_with_scoring(driver):
     # paba is an 10-heavy-atom molecule below MIN_N_NODES; generator clamps
     rep = driver.screen([read_mol_file(CEYYAG)], n_samples=4, variance=2,
