@@ -23,7 +23,8 @@ from ..config import DiffusionConfig, EGNNConfig
 from ..diffusion.edm import EDMSampler
 from .edge_shard import EDGE_AXIS, dynamics_forward_sharded
 
-__all__ = ["ShardedEDMSampler", "make_sharded_generate"]
+__all__ = ["ShardedEDMSampler", "make_sharded_generate",
+           "make_sharded_inpaint", "make_sharded_merge"]
 
 DATA_AXIS = "data"
 
@@ -61,5 +62,61 @@ def make_sharded_generate(mesh: Mesh, egnn_cfg: EGNNConfig,
         local_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS, None, EDGE_AXIS),
                   P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+    return jax.jit(shard)
+
+
+def make_sharded_inpaint(mesh: Mesh, egnn_cfg: EGNNConfig,
+                         diff_cfg: DiffusionConfig, resample_steps: int = 1,
+                         blend_power: int = 3):
+    """Sharded fragment inpainting (reference ``equivariant_diffusion.py:423``).
+
+    Returns ``fn(params, key, gamma, node_mask, edge_mask, context, z_known,
+    fixed_mask) -> (x, h)`` over GLOBAL arrays; sharding as in
+    :func:`make_sharded_generate`, with the fragment latent and fixed mask
+    batch-sharded along ``data``.
+    """
+    sampler = ShardedEDMSampler(egnn_cfg, diff_cfg)
+
+    def local_fn(params, key, gamma, node_mask, edge_mask_l, context,
+                 z_known, fixed_mask):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        return sampler.inpaint(params, key, gamma, node_mask, edge_mask_l,
+                               context, z_known, fixed_mask,
+                               resample_steps=resample_steps,
+                               blend_power=blend_power)
+
+    shard = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS, None, EDGE_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+    return jax.jit(shard)
+
+
+def make_sharded_merge(mesh: Mesh, egnn_cfg: EGNNConfig,
+                       diff_cfg: DiffusionConfig, diffusion_level: int = 50,
+                       resample_steps: int = 0, blend_power: int = 3):
+    """Sharded fragment merging (reference ``equivariant_diffusion.py:515``).
+
+    Returns ``fn(params, key, gamma, node_mask, edge_mask, fixed_mask,
+    context, z_known) -> (x, h)`` over GLOBAL arrays (the IFM merge stage).
+    """
+    sampler = ShardedEDMSampler(egnn_cfg, diff_cfg)
+
+    def local_fn(params, key, gamma, node_mask, edge_mask_l, fixed_mask,
+                 context, z_known):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        return sampler.merge_fragments(params, key, gamma, node_mask,
+                                       edge_mask_l, fixed_mask, context,
+                                       z_known,
+                                       diffusion_level=diffusion_level,
+                                       resample_steps=resample_steps,
+                                       blend_power=blend_power)
+
+    shard = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS, None, EDGE_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
     return jax.jit(shard)

@@ -10,7 +10,8 @@ from ml_conformer_generator_tpu.diffusion.edm import EDMSampler
 from ml_conformer_generator_tpu.diffusion.schedule import gamma_schedule
 from ml_conformer_generator_tpu.models.egnn import init_egnn_params
 from ml_conformer_generator_tpu.parallel.mesh import make_mesh
-from ml_conformer_generator_tpu.parallel.sampler import make_sharded_generate
+from ml_conformer_generator_tpu.parallel.sampler import (
+    make_sharded_generate, make_sharded_inpaint, make_sharded_merge)
 from ml_conformer_generator_tpu.utils.masks import prepare_masks
 
 CFG = EGNNConfig(hidden_nf=24, n_blocks=2)
@@ -40,6 +41,43 @@ def test_sharded_generate_matches_dense():
     # the sharded path folds the data-axis index (0) into the key
     xd, hd = jax.jit(dense.generate)(params, jax.random.fold_in(key, 0),
                                      gamma, node_mask, edge_mask, ctx)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=2e-4,
+                               rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(hd))
+
+
+def test_sharded_inpaint_and_merge_match_dense():
+    """(1 data x 8 edge): the fragment workflows' sharded samplers agree
+    with the dense single-device inpaint/merge under the same RNG."""
+    mesh = make_mesh((1, 8))
+    params = init_egnn_params(jax.random.PRNGKey(0), CFG)
+    gamma = jnp.asarray(gamma_schedule(DIFF.timesteps))
+    node_mask, edge_mask, ctx = _inputs()
+    B, N, _ = node_mask.shape
+    rng = np.random.default_rng(5)
+    z_known = (jnp.asarray(rng.standard_normal((B, N, 3 + DIFF.in_node_nf)),
+                           dtype=jnp.float32) * node_mask)
+    fixed_mask = (jnp.arange(N)[None, :, None] < 4).astype(jnp.float32)
+    fixed_mask = fixed_mask * node_mask
+    key = jax.random.PRNGKey(11)
+    dense = EDMSampler(CFG, DIFF)
+
+    fn = make_sharded_inpaint(mesh, CFG, DIFF, resample_steps=1)
+    xs, hs = fn(params, key, gamma, node_mask, edge_mask, ctx, z_known,
+                fixed_mask)
+    xd, hd = jax.jit(lambda *a: dense.inpaint(*a, resample_steps=1))(
+        params, jax.random.fold_in(key, 0), gamma, node_mask, edge_mask,
+        ctx, z_known, fixed_mask)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=2e-4,
+                               rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(hd))
+
+    fn = make_sharded_merge(mesh, CFG, DIFF, diffusion_level=3)
+    xs, hs = fn(params, key, gamma, node_mask, edge_mask, fixed_mask, ctx,
+                z_known)
+    xd, hd = jax.jit(lambda *a: dense.merge_fragments(*a, diffusion_level=3))(
+        params, jax.random.fold_in(key, 0), gamma, node_mask, edge_mask,
+        fixed_mask, ctx, z_known)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=2e-4,
                                rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(hs), np.asarray(hd))
