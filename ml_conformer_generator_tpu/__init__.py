@@ -18,6 +18,7 @@ __all__ = [
     "ATOM_DECODER", "CONTEXT_NORMS", "DIMENSION", "MAX_N_NODES", "MIN_N_NODES",
     "NUM_BOND_TYPES", "PERMITTED_ELEMENTS", "AdjMatSeerConfig",
     "DiffusionConfig", "EGNNConfig", "GeneratorConfig", "MLConformerGenerator",
+    "MLConformerGeneratorONNX",
     "evaluate_samples", "run_evaluation", "ffd", "fcd",
     "principal_inertia_components", "__version__",
 ]
@@ -29,6 +30,9 @@ def __getattr__(name):
     if name == "MLConformerGenerator":
         from .generator import MLConformerGenerator
         return MLConformerGenerator
+    if name == "MLConformerGeneratorONNX":
+        from .generator import MLConformerGeneratorONNX
+        return MLConformerGeneratorONNX
     if name == "evaluate_samples":
         from .eval.pipeline import evaluate_samples
         return evaluate_samples

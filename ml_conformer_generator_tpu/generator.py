@@ -343,3 +343,44 @@ class MLConformerGenerator:
     def save_weights(self, edm_path: str, adj_path: str) -> None:
         save_params(edm_path, self.edm_params)
         save_params(adj_path, self.adj_params)
+
+
+class MLConformerGeneratorONNX(MLConformerGenerator):
+    """Drop-in analog of the reference's torch-free ONNX runtime class.
+
+    The reference ships a second, numpy+onnxruntime implementation of the
+    whole pipeline (``conformer_generator_onnx.py:18-73``) so users without
+    torch can run inference from the ``.onnx`` weight artifacts. This
+    framework needs no second engine — the JAX pipeline is already
+    torch-free — so this class only preserves the reference's constructor
+    shape: it takes the same ``egnn_onnx`` / ``adj_mat_seer_onnx`` paths,
+    pulls the initializer tensors straight out of the ONNX protobufs
+    (``onnx_weights.py``, no onnx/onnxruntime dependency), and runs the
+    identical TPU pipeline. The reference numpy port's uniform-vs-gaussian
+    position-noise bug (``equivariant_diffusion_onnx.py:52``) is deliberately
+    not replicated.
+    """
+
+    def __init__(
+        self,
+        diffusion_steps: int = 100,
+        dimension: int = DIMENSION,
+        min_n_nodes: int = MIN_N_NODES,
+        max_n_nodes: int = MAX_N_NODES,
+        context_norms: Dict = CONTEXT_NORMS,
+        atom_decoder: Dict[int, str] = ATOM_DECODER,
+        egnn_onnx: str = "./egnn_chembl_15_39.onnx",
+        adj_mat_seer_onnx: str = "./adj_mat_seer_chembl_15_39.onnx",
+        **kwargs,
+    ):
+        super().__init__(
+            diffusion_steps=diffusion_steps,
+            dimension=dimension,
+            min_n_nodes=min_n_nodes,
+            max_n_nodes=max_n_nodes,
+            context_norms=context_norms,
+            atom_decoder=atom_decoder,
+            edm_weights=egnn_onnx,
+            adj_mat_seer_weights=adj_mat_seer_onnx,
+            **kwargs,
+        )

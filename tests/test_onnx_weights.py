@@ -85,3 +85,42 @@ def test_load_onnx_edm_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_onnx_generator_class(tmp_path):
+    """MLConformerGeneratorONNX (reference conformer_generator_onnx.py:18-35)
+    builds the full pipeline straight from .onnx weight artifacts."""
+    import jax.numpy as jnp
+
+    from ml_conformer_generator_tpu import MLConformerGeneratorONNX
+    from ml_conformer_generator_tpu.checkpoint import (
+        adj_mat_seer_params_to_torch_names)
+    from ml_conformer_generator_tpu.config import AdjMatSeerConfig
+    from ml_conformer_generator_tpu.models.adj_mat_seer import (
+        init_adj_mat_seer_params)
+
+    egnn_cfg = EGNNConfig()          # production 420x9 — weights only, no jit
+    edm_params = init_egnn_params(jax.random.PRNGKey(0), egnn_cfg)
+    named = egnn_params_to_torch_names(edm_params, egnn_cfg,
+                                       prefix="dynamics.egnn.")
+    egnn_path = str(tmp_path / "egnn.onnx")
+    with open(egnn_path, "wb") as f:
+        f.write(_onnx_model([(k, np.asarray(v, np.float32), True)
+                             for k, v in named.items()]))
+
+    adj_params = init_adj_mat_seer_params(jax.random.PRNGKey(1),
+                                          AdjMatSeerConfig())
+    adj_named = adj_mat_seer_params_to_torch_names(adj_params)
+    adj_path = str(tmp_path / "adj.onnx")
+    with open(adj_path, "wb") as f:
+        f.write(_onnx_model([(k, np.asarray(v, np.float32), True)
+                             for k, v in adj_named.items()]))
+
+    gen = MLConformerGeneratorONNX(diffusion_steps=10, egnn_onnx=egnn_path,
+                                   adj_mat_seer_onnx=adj_path)
+    for a, b in zip(jax.tree_util.tree_leaves(edm_params),
+                    jax.tree_util.tree_leaves(gen.edm_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(adj_params),
+                    jax.tree_util.tree_leaves(gen.adj_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
