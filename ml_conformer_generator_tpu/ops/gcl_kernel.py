@@ -40,6 +40,13 @@ axon-tunnel dispatch latency):
   so the kernel's floor is ~= XLA parity, not the 2-3x a pure-bandwidth
   model predicts. Beating XLA would need cross-phase software pipelining
   (``pltpu.emit_pipeline``) — not worth it at this model size.
+* Also measured and rejected: a two-stage software pipeline over the grid
+  (element b's GEMMs staged into double-buffered VMEM scratch, element
+  b-1's VPU epilogue in the same step, lagged out/em index maps) — 1.96 ms
+  with ``@pl.when`` stage guards and 1.96 ms as one straight-line block,
+  i.e. Mosaic's scheduler does not interleave the independent MXU and VPU
+  chains of consecutive grid steps; only an explicit inner
+  ``pltpu.emit_pipeline`` would.
 * Hence ``EGNNConfig.use_pallas`` defaults to "off"; the kernel remains as
   the building block for the mega-batch edge-stream regime (SURVEY.md §7
   step 2) and as a Pallas reference implementation, and stays covered by

@@ -68,12 +68,12 @@ def main():
 
     t = scan_time(lambda h: gcl_forward(params, h, ef, nm, em, 100.0, None))
     print(f"xla dense gcl_forward      : {t:8.3f} ms/pass  "
-          f"({flops / t / 1e12:.1f} TFLOP/s main-GEMM lower bound)")
+          f"({flops / (t * 1e-3) / 1e12:.1f} TFLOP/s main-GEMM lower bound)")
 
     t = scan_time(lambda h: gcl_kernel.gcl_edge_aggregate(
         params, h, ef, em, 100.0))
     print(f"pallas gcl_edge_aggregate  : {t:8.3f} ms/pass  "
-          f"({flops / t / 1e12:.1f} TFLOP/s)")
+          f"({flops / (t * 1e-3) / 1e12:.1f} TFLOP/s)")
 
 
 if __name__ == "__main__":
