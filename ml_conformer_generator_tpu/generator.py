@@ -334,6 +334,9 @@ class MLConformerGenerator:
         self.last_metrics = timer.summary()
         return valid
 
+    #: reference parity: ``forward`` aliases the full pipeline
+    #: (``conformer_generator.py:370-399``), as does calling the instance.
+    forward = generate_conformers
     __call__ = generate_conformers
 
     # ------------------------------------------------------------------
