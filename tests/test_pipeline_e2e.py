@@ -79,3 +79,17 @@ def test_fixed_fragment_paths(small_gen):
             resample_steps=1, ifm_diffusion_level=3,
             optimise_geometry=False)
         assert isinstance(out, list)
+
+
+def test_public_api_aliases():
+    """Reference parity: forward / __call__ alias the full pipeline
+    (conformer_generator.py:370-399), and both generator classes are
+    importable from the package root (__init__.py:1-5)."""
+    import ml_conformer_generator_tpu as mcg
+
+    assert MLConformerGenerator.forward \
+        is MLConformerGenerator.generate_conformers
+    assert MLConformerGenerator.__call__ \
+        is MLConformerGenerator.generate_conformers
+    assert mcg.MLConformerGenerator is MLConformerGenerator
+    assert issubclass(mcg.MLConformerGeneratorONNX, MLConformerGenerator)
