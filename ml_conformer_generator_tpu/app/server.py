@@ -27,7 +27,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict
 
-from ..chem.io import from_mol_block, to_mol_block, write_sdf
+from ..chem.io import from_mol_block, write_sdf
 from ..eval.pipeline import evaluate_samples
 from .ui import INDEX_HTML
 

@@ -20,7 +20,7 @@ from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
-from .config import AdjMatSeerConfig, EGNNConfig
+from .config import EGNNConfig
 
 Params = Dict[str, Any]
 

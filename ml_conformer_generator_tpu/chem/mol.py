@@ -10,7 +10,7 @@ plus an explicit bond list with integer orders (1 single, 2 double, 3 triple,
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ from a seed so the metric is reproducible across processes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax

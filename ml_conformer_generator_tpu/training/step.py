@@ -9,22 +9,17 @@ meshes; the per-layer edge exchange stays on ICI.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
-import jax.numpy as jnp
+
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DiffusionConfig, EGNNConfig
 from ..parallel.edge_shard import dynamics_forward_sharded
 from .loss import edm_training_loss
 
-
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12):
     return optax.adamw(lr, weight_decay=weight_decay)
-
 
 def make_train_step(mesh: Mesh, egnn_cfg: EGNNConfig,
                     diff_cfg: DiffusionConfig, optimizer=None):
@@ -85,7 +80,6 @@ def make_train_step(mesh: Mesh, egnn_cfg: EGNNConfig,
                        batch["context"], gamma)
 
     return step
-
 
 def init_train_state(params, optimizer=None):
     if optimizer is None:
