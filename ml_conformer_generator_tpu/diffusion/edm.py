@@ -125,7 +125,9 @@ class EDMSampler:
             gamma_t, gamma_s)
         sigma_s = sigma_of(gamma_s)
         sigma_t = sigma_of(gamma_t)
-        t_norm = (s_idx + 1).astype(jnp.float32) / T
+        # Anchor to gamma's dtype so float64 parity runs stay float64 end to
+        # end (float32 in production, where gamma is float32).
+        t_norm = (s_idx + 1).astype(gamma.dtype) / T
         B = z.shape[0]
         t_arr = jnp.full((B,), t_norm)
         eps_t = self.phi(params, z, t_arr, node_mask, edge_mask, context)
@@ -218,7 +220,7 @@ class EDMSampler:
 
         def step(carry, s_idx):
             z, key = carry
-            s_norm = s_idx.astype(jnp.float32) / T
+            s_norm = s_idx.astype(gamma.dtype) / T
             blend = (1.0 - s_norm) ** blend_power
             for _ in range(resample_steps):
                 key, k1, k2 = jax.random.split(key, 3)
@@ -262,7 +264,7 @@ class EDMSampler:
 
         def step(carry, s_idx):
             z, key = carry
-            s_norm = s_idx.astype(jnp.float32) / T
+            s_norm = s_idx.astype(gamma.dtype) / T
             blend = (1.0 - s_norm) ** blend_power
             for _ in range(resample_steps):
                 key, k1, k2 = jax.random.split(key, 3)
