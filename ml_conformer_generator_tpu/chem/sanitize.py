@@ -10,10 +10,15 @@ Implemented:
 * kekulisation of aromatic (order-4) bonds via exact matching search per
   aromatic component (pyrrole-type lone-pair atoms may stay unmatched,
   carbon must be matched);
-* valence checking against neutral element valences with common charged-state
-  fixes mirroring the reference's normalisations (quaternary N+, trivalent O+,
-  nitro -> N+(O-)=O, azide, isolated-halogen X-);
-* implicit hydrogen counting.
+* the full ChEMBL normalisation table of the reference
+  (``standardizer.py:19-43``) in adjacency form — see
+  :func:`normalize_charges` for the row-by-row mapping;
+* valence checking and implicit hydrogen counting.
+
+The reference's ``flatten_tartrate_mol`` (``standardizer.py:46-59``) removes
+chiral tags from tartrate matches; this framework's :class:`~.mol.Molecule`
+carries no stereo tags at all, so that transform is a no-op by construction
+and intentionally has no code here.
 """
 
 from __future__ import annotations
@@ -162,41 +167,244 @@ def explicit_valences(mol: Molecule) -> np.ndarray:
     return v
 
 
-def normalize_charges(mol: Molecule) -> Molecule:
-    """Apply the common charge normalisations of the reference standardiser.
-
-    Mirrors (in adjacency form) the SMIRKS the reference applies
-    (``standardizer.py:19-43``): nitro, quaternary N+, trivalent O+, azide,
-    isolated halide anion.
-    """
-    out = mol.copy()
-    v = explicit_valences(out)
-    adj = [[] for _ in range(out.num_atoms)]
-    for bi, (i, j, o) in enumerate(out.bonds):
+def _adjacency(mol: Molecule):
+    """Per-atom list of (neighbor, order, bond_index)."""
+    adj = [[] for _ in range(mol.num_atoms)]
+    for bi, (i, j, o) in enumerate(mol.bonds):
         adj[i].append((j, o, bi))
         adj[j].append((i, o, bi))
+    return adj
 
+
+def _bond_in_ring(mol: Molecule, a: int, b: int) -> bool:
+    """True if the a-b bond lies in a ring (a reaches b without that bond)."""
+    nbrs = mol.neighbors()
+    seen = {a}
+    stack = [a]
+    while stack:
+        v = stack.pop()
+        for w in nbrs[v]:
+            if v == a and w == b:
+                continue  # skip the direct bond itself
+            if w == b:
+                return True
+            if w not in seen:
+                seen.add(w)
+                stack.append(w)
+    return False
+
+
+# Each transform scans the (kekulised) molecule for one motif of the reference
+# normalisation table and rewrites it in place, returning True if anything
+# changed. All assume neutral-by-default inputs from the bond predictor but
+# also handle pre-charged motifs read from files.
+
+
+def _norm_nitro(out, v, adj) -> bool:
+    # Nitro to N+(O-)=O: [N;X3](=[O])=[O] >> [N+]([O-])=O  (standardizer.py:21)
     for a in range(out.num_atoms):
-        z = int(out.atomic_nums[a])
-        if z == 7 and v[a] in (4, 5) and out.charges[a] == 0:
-            # Nitro N(=O)=O (valence 5) -> N+(-O-)=O
+        if (int(out.atomic_nums[a]) == 7 and out.charges[a] == 0
+                and len(adj[a]) == 3):
             dbl_o = [(b, bi) for b, o, bi in adj[a]
                      if o == 2 and int(out.atomic_nums[b]) == 8]
-            if v[a] == 5 and len(dbl_o) >= 2:
+            if len(dbl_o) >= 2:
                 b, bi = dbl_o[0]
                 i, j, _ = out.bonds[bi]
                 out.bonds[bi] = (i, j, 1)
                 out.charges[b] = -1
                 out.charges[a] = 1
-                v[a] -= 1
-                v[b] -= 1
-            elif v[a] == 4:
-                # Quaternary / iminium N -> N+
+                return True
+    return False
+
+
+def _norm_diazonium(out, v, adj) -> bool:
+    # Diazonium N: [*]-[N;X2]#[N;X1] >> [*]-[N+]#N  (standardizer.py:22)
+    for a in range(out.num_atoms):
+        if (int(out.atomic_nums[a]) == 7 and out.charges[a] == 0
+                and len(adj[a]) == 2):
+            orders = sorted(o for _, o, _ in adj[a])
+            triple = [b for b, o, _ in adj[a]
+                      if o == 3 and int(out.atomic_nums[b]) == 7
+                      and len(adj[b]) == 1]
+            if orders == [1, 3] and triple:
                 out.charges[a] = 1
-        elif z == 8 and v[a] == 3 and out.charges[a] == 0:
+                return True
+    return False
+
+
+def _norm_quaternary_n(out, v, adj) -> bool:
+    # Quaternary N: [N;X4;v4;+0] >> [N+]  (standardizer.py:23)
+    for a in range(out.num_atoms):
+        if (int(out.atomic_nums[a]) == 7 and out.charges[a] == 0
+                and len(adj[a]) == 4 and v[a] == 4):
             out.charges[a] = 1
-        elif z in (9, 17, 35, 53) and v[a] == 0 and out.charges[a] == 0:
+            return True
+    return False
+
+
+def _norm_trivalent_o(out, v, adj) -> bool:
+    # Trivalent O: [*]=[O;X2;v3;+0]-[#6] >> [*]=[O+]-[C]  (standardizer.py:24)
+    for a in range(out.num_atoms):
+        if (int(out.atomic_nums[a]) == 8 and out.charges[a] == 0
+                and len(adj[a]) == 2 and v[a] == 3):
+            has_dbl = any(o == 2 for _, o, _ in adj[a])
+            single_c = any(o == 1 and int(out.atomic_nums[b]) == 6
+                           for b, o, _ in adj[a])
+            if has_dbl and single_c:
+                out.charges[a] = 1
+                return True
+    return False
+
+
+def _norm_sulfoxide(out, v, adj) -> bool:
+    # Sulfoxide to -S+(O-): [!O][S+0;D3](=[O])[!O] >> [*][S+]([O-])[*]
+    # plus the pathological [SH1+1;D3](=O) second form (standardizer.py:25-27).
+    for a in range(out.num_atoms):
+        if int(out.atomic_nums[a]) != 16 or len(adj[a]) != 3:
+            continue
+        chg = int(out.charges[a])
+        dbl_o = [(b, bi) for b, o, bi in adj[a]
+                 if o == 2 and int(out.atomic_nums[b]) == 8
+                 and out.charges[b] == 0]
+        non_o = [b for b, o, _ in adj[a] if int(out.atomic_nums[b]) != 8]
+        if len(dbl_o) == 1 and len(non_o) == 2 and chg in (0, 1):
+            b, bi = dbl_o[0]
+            i, j, _ = out.bonds[bi]
+            out.bonds[bi] = (i, j, 1)
+            out.charges[b] = -1
+            out.charges[a] = 1
+            return True
+    return False
+
+
+def _norm_trivalent_s(out, v, adj) -> bool:
+    # Trivalent S: [O]=[S;D2;+0]-[#6] >> O=[S+]-C  (standardizer.py:28)
+    for a in range(out.num_atoms):
+        if (int(out.atomic_nums[a]) == 16 and out.charges[a] == 0
+                and len(adj[a]) == 2):
+            has_dbl_o = any(o == 2 and int(out.atomic_nums[b]) == 8
+                            for b, o, _ in adj[a])
+            single_c = any(o == 1 and int(out.atomic_nums[b]) == 6
+                           for b, o, _ in adj[a])
+            if has_dbl_o and single_c:
+                out.charges[a] = 1
+                return True
+    return False
+
+
+def _norm_amide_tautomer(out, v, adj) -> bool:
+    # Bad amide tautomers: [C]([OH1;D1])=;!@[N] >> [C](=O)-[N]
+    # (standardizer.py:34-35; the NH1/NH0 split is implicit here because
+    # hydrogens are implicit — flipping the bond orders adjusts H counts).
+    for a in range(out.num_atoms):
+        if int(out.atomic_nums[a]) != 6:
+            continue
+        oh = [(b, bi) for b, o, bi in adj[a]
+              if o == 1 and int(out.atomic_nums[b]) == 8
+              and out.charges[b] == 0 and len(adj[b]) == 1]
+        dbl_n = [(b, bi) for b, o, bi in adj[a]
+                 if o == 2 and int(out.atomic_nums[b]) == 7
+                 and out.charges[b] == 0]
+        for nb, nbi in dbl_n:
+            if oh and not _bond_in_ring(out, a, nb):
+                ob, obi = oh[0]
+                i, j, _ = out.bonds[obi]
+                out.bonds[obi] = (i, j, 2)
+                i, j, _ = out.bonds[nbi]
+                out.bonds[nbi] = (i, j, 1)
+                return True
+    return False
+
+
+def _norm_isolated_halide(out, v, adj) -> bool:
+    # Halogen with no neighbors: [F,Cl,Br,I;X0;+0] >> [X-] (standardizer.py:36)
+    for a in range(out.num_atoms):
+        if (int(out.atomic_nums[a]) in (9, 17, 35, 53) and len(adj[a]) == 0
+                and out.charges[a] == 0):
             out.charges[a] = -1
+            return True
+    return False
+
+
+def _norm_pyridine_oxide(out, v, adj) -> bool:
+    # Odd pyridine/pyridazine oxide: [C,N;-;D2,D3]-[N+2;D3]-[O-;D1]
+    # >> [*]=[N+]-[O-]  (standardizer.py:37)
+    for n in range(out.num_atoms):
+        if (int(out.atomic_nums[n]) != 7 or out.charges[n] != 2
+                or len(adj[n]) != 3):
+            continue
+        o_nbr = [(b, bi) for b, o, bi in adj[n]
+                 if o == 1 and int(out.atomic_nums[b]) == 8
+                 and out.charges[b] == -1 and len(adj[b]) == 1]
+        a_nbr = [(b, bi) for b, o, bi in adj[n]
+                 if o == 1 and int(out.atomic_nums[b]) in (6, 7)
+                 and out.charges[b] == -1 and len(adj[b]) in (2, 3)]
+        if o_nbr and a_nbr:
+            b, bi = a_nbr[0]
+            i, j, _ = out.bonds[bi]
+            out.bonds[bi] = (i, j, 2)
+            out.charges[b] = 0
+            out.charges[n] = 1
+            return True
+    return False
+
+
+def _norm_odd_azide(out, v, adj) -> bool:
+    # Odd azide: [*][N-][N+]#[N] >> [*][N]=[N+]=[N-]  (standardizer.py:38)
+    for a in range(out.num_atoms):
+        if (int(out.atomic_nums[a]) != 7 or out.charges[a] != -1
+                or len(adj[a]) != 2):
+            continue
+        for b, o, bi in adj[a]:
+            if (o == 1 and int(out.atomic_nums[b]) == 7
+                    and out.charges[b] == 1):
+                term = [(c, ci) for c, oc, ci in adj[b]
+                        if oc == 3 and int(out.atomic_nums[c]) == 7
+                        and out.charges[c] == 0 and len(adj[c]) == 1]
+                if term:
+                    c, ci = term[0]
+                    i, j, _ = out.bonds[bi]
+                    out.bonds[bi] = (i, j, 2)
+                    i, j, _ = out.bonds[ci]
+                    out.bonds[ci] = (i, j, 2)
+                    out.charges[a] = 0
+                    out.charges[c] = -1
+                    return True
+    return False
+
+
+_NORMALIZATIONS = (
+    _norm_nitro,
+    _norm_diazonium,
+    _norm_quaternary_n,
+    _norm_trivalent_o,
+    _norm_sulfoxide,
+    _norm_trivalent_s,
+    _norm_amide_tautomer,
+    _norm_isolated_halide,
+    _norm_pyridine_oxide,
+    _norm_odd_azide,
+)
+
+
+def normalize_charges(mol: Molecule) -> Molecule:
+    """Apply the reference standardiser's normalisation table.
+
+    Adjacency-form equivalents of every active SMIRKS row of
+    ``/root/reference/src/mlconfgen/utils/standardizer.py:19-43`` (nitro,
+    diazonium, quaternary N, trivalent O, both sulfoxide forms, trivalent S,
+    both bad-amide tautomers, isolated halide, odd pyridine/pyridazine oxide,
+    odd azide), applied in table order to a fixed point, like RDKit's
+    ``Normalizer``. The commented-out "Alkaline oxide" row and the
+    stereo-only tartrate flatten (see module docstring) are intentionally
+    absent.
+    """
+    out = mol.copy()
+    for _ in range(2 * max(1, out.num_atoms)):  # fixed-point, bounded
+        v = explicit_valences(out)
+        adj = _adjacency(out)
+        if not any(t(out, v, adj) for t in _NORMALIZATIONS):
+            break
     return out
 
 
