@@ -5,7 +5,7 @@ reference (SURVEY.md §2.1 L3): no external cheminformatics dependency.
 """
 
 from .bonds import bonds_from_adjacency_logits, redefine_bonds
-from .canonical import canonical_ranks, canonicalise
+from .canonical import canonical_ranks, canonicalise, smiles_output_order
 from .featurize import (fragment_to_xh, prepare_adj_mat_seer_input,
                         samples_to_molecules)
 from .io import (from_mol_block, from_xyz_block, read_mol_file, read_sdf,
@@ -18,7 +18,8 @@ from .standardize import standardize_batch, standardize_mol
 
 __all__ = [
     "Molecule", "SanitizeError", "bonds_from_adjacency_logits",
-    "canonical_ranks", "canonicalise", "determine_connectivity", "find_rings",
+    "canonical_ranks", "canonicalise", "smiles_output_order",
+    "determine_connectivity", "find_rings",
     "MolGraph", "vector_graph_sort",
     "fragment_to_xh", "from_mol_block", "from_xyz_block",
     "implicit_hydrogens", "kekulize", "prepare_adj_mat_seer_input",

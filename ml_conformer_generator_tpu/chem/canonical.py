@@ -1,16 +1,27 @@
-"""Canonical atom ordering (Morgan-style iterative refinement).
+"""Canonical atom ordering (Morgan-style refinement + SMILES-writer DFS).
 
 The reference canonicalises atom order via RDKit canonical-SMILES output order
-(``utils/mol_utils.py:110-126``) so that the bond predictor sees a
-deterministic, geometry-independent ordering. This module provides the same
-capability with a classic Morgan/invariant-refinement ranking: initial atom
-invariants are refined by hashing sorted neighbour ranks until stable, with
-deterministic tie-breaking.
+(``utils/mol_utils.py:110-126``) before bond prediction. That order is NOT the
+canonical-rank sort: it is the depth-first traversal order of the canonical
+SMILES *writer* — rooted at the lowest-rank atom, visiting neighbours in
+ascending canonical rank — so consecutive indices are almost always bonded.
+AdjMatSeer treats node position as a feature (``nodes_coord_fc`` and the
+per-node resize, ``adj_mat_seer.py:92,135-143,154-165``), so its trained
+weights saw DFS-ordered inputs; this module emulates that order:
 
-The specific order differs from RDKit's (any deterministic canonical order is
-equally valid for the pipeline — AdjMatSeer is trained/evaluated on relative
-structure, and our parity harness feeds both stacks identically ordered
-inputs), but the properties match: permutation-invariant, unique, stable.
+* :func:`canonical_ranks` — Morgan/invariant-refinement ranking (initial
+  invariants: degree, bond-order sum, element, charge — on the all-single-bond
+  graphs this path sees, these coincide with RDKit's effective invariants),
+  deterministic tie-breaking;
+* :func:`smiles_output_order` — the writer traversal over those ranks;
+* :func:`canonicalise` — renumber into that order.
+
+Exact tie-break parity with RDKit's implementation cannot be verified in this
+environment (RDKit is not installable and there is no network access); what is
+reproduced is the documented structure of the order — connected DFS, canonical
+root, rank-ordered branches — which determines the positional statistics the
+trained bond predictor is sensitive to. The order is permutation-invariant,
+unique, and stable (tested).
 """
 
 from __future__ import annotations
@@ -107,8 +118,38 @@ def _key(k):
     return k if isinstance(k, tuple) else (k,)
 
 
+def smiles_output_order(mol: Molecule, ranks: np.ndarray = None) -> List[int]:
+    """Canonical-SMILES writer traversal order (reference order semantics).
+
+    Emulates the order RDKit reports in ``_smilesAtomOutputOrder``
+    (``utils/mol_utils.py:110-126``): for each fragment (fragments taken in
+    order of their lowest-rank atom), a depth-first traversal rooted at the
+    fragment's lowest-rank atom, visiting neighbours in ascending canonical
+    rank; each branch is written completely before the next.
+    """
+    n = mol.num_atoms
+    if ranks is None:
+        ranks = canonical_ranks(mol)
+    adj = mol.neighbors()
+    visited = [False] * n
+    order: List[int] = []
+
+    def dfs(a: int) -> None:
+        visited[a] = True
+        order.append(a)
+        for b in sorted(adj[a], key=lambda b: (int(ranks[b]), b)):
+            if not visited[b]:
+                dfs(b)
+
+    for root in sorted(range(n), key=lambda a: (int(ranks[a]), a)):
+        if not visited[root]:
+            dfs(root)
+    return order
+
+
 def canonicalise(mol: Molecule) -> Molecule:
-    """Renumber atoms into canonical order (reference ``canonicalise``).
+    """Renumber atoms into canonical-SMILES output order (reference
+    ``canonicalise``, ``utils/mol_utils.py:110-126``).
 
     If the molecule has no bonds, connectivity is perceived from geometry
     first (as the reference's DetermineConnectivity step does).
@@ -116,6 +157,4 @@ def canonicalise(mol: Molecule) -> Molecule:
     from .perception import determine_connectivity
 
     work = mol if mol.num_bonds > 0 else determine_connectivity(mol)
-    ranks = canonical_ranks(work)
-    order = np.argsort(ranks, kind="stable")
-    return work.renumber(order.tolist())
+    return work.renumber(smiles_output_order(work))

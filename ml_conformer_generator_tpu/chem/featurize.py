@@ -13,7 +13,7 @@ import numpy as np
 
 from ..config import ATOM_DECODER, DIMENSION
 from . import periodic
-from .canonical import canonicalise
+from .canonical import canonicalise, smiles_output_order
 from .mol import Molecule
 
 
@@ -63,8 +63,7 @@ def prepare_adj_mat_seer_input(mols: List[Molecule],
     canon: List[Molecule] = []
     for b, mol in enumerate(bonded):
         if batch_ranks is not None:
-            order = np.argsort(batch_ranks[b], kind="stable")
-            m = mol.renumber(order.tolist())
+            m = mol.renumber(smiles_output_order(mol, batch_ranks[b]))
         else:
             m = canonicalise(mol)
         n = m.num_atoms

@@ -376,6 +376,15 @@ class MLConformerGeneratorONNX(MLConformerGenerator):
         adj_mat_seer_onnx: str = "./adj_mat_seer_chembl_15_39.onnx",
         **kwargs,
     ):
+        # The parent dispatches loaders on the path suffix; a non-.onnx path
+        # here would silently fall through to the torch .pt loader with a
+        # confusing error, so fail fast with a clear message.
+        for name, path in (("egnn_onnx", egnn_onnx),
+                           ("adj_mat_seer_onnx", adj_mat_seer_onnx)):
+            if not str(path).endswith(".onnx"):
+                raise ValueError(
+                    f"MLConformerGeneratorONNX expects {name} to be a .onnx "
+                    f"file, got {path!r}")
         super().__init__(
             diffusion_steps=diffusion_steps,
             dimension=dimension,

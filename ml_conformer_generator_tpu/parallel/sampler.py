@@ -95,7 +95,7 @@ def make_sharded_inpaint(mesh: Mesh, egnn_cfg: EGNNConfig,
 
 def make_sharded_merge(mesh: Mesh, egnn_cfg: EGNNConfig,
                        diff_cfg: DiffusionConfig, diffusion_level: int = 50,
-                       resample_steps: int = 0, blend_power: int = 3):
+                       resample_steps: int = 1, blend_power: int = 3):
     """Sharded fragment merging (reference ``equivariant_diffusion.py:515``).
 
     Returns ``fn(params, key, gamma, node_mask, edge_mask, fixed_mask,

@@ -39,6 +39,7 @@ from ..eval.frechet import identity_key
 from ..eval.pipeline import evaluate_samples
 from ..ops.moi import get_context_shape
 from ..utils.masks import pad_to_bucket, prepare_edm_input
+from ..utils.metrics import StageTimer
 from .mesh import make_mesh
 
 __all__ = ["ScreeningDriver"]
@@ -102,10 +103,18 @@ class ScreeningDriver:
                             dev(context, self._shard_batched))
         return ref, (x, h, node_mask), n_samples
 
-    def _finish(self, dispatched) -> List[Molecule]:
+    def _finish(self, dispatched, timer=None) -> List[Molecule]:
         """Host chem for one dispatched request (blocks on its arrays)."""
         gen = self.generator
         ref, (x, h, node_mask), n_samples = dispatched
+        if timer is not None:
+            # Time spent actually waiting on the device: with the depth-1
+            # pipeline this should be (nearly) the full device time of the
+            # FIRST request only — later requests were computed while the
+            # host chewed on their predecessors (SURVEY.md §7 hard part 3).
+            with timer.stage("device_wait"):
+                jax.block_until_ready((x, h))
+        t0 = time.perf_counter()
         # keep the padded batch through the sharded bond predictor (its batch
         # axis must stay divisible by the data axis), trim afterwards
         mols = samples_to_molecules(np.asarray(x), np.asarray(h),
@@ -118,7 +127,13 @@ class ScreeningDriver:
             jnp.asarray(adj)))
         bonded = [redefine_bonds(canon[i], bond_types[i])
                   for i in range(min(n_samples, len(canon)))]
-        return [m for m in standardize_batch(bonded, True) if m is not None]
+        out = [m for m in standardize_batch(bonded, True) if m is not None]
+        if timer is not None:
+            # host featurisation/standardisation (plus the small bond-predictor
+            # device program it synchronises on)
+            timer.stages["host_chem"] = (timer.stages.get("host_chem", 0.0)
+                                         + time.perf_counter() - t0)
+        return out
 
     def screen(self, references: Sequence[Molecule], n_samples: int = 100,
                variance: int = 2, score: bool = True,
@@ -129,19 +144,22 @@ class ScreeningDriver:
             n_references=len(references), n_samples_per_reference=n_samples,
             n_requested=len(references) * n_samples)
         shape_sum = chem_sum = 0.0
+        timer = StageTimer()
         t_start = time.perf_counter()
 
         pending = None
         for i in range(len(references) + 1):
-            nxt = (self._dispatch(references[i].remove_hs(), n_samples,
-                                  variance)
-                   if i < len(references) else None)
+            with timer.stage("dispatch"):
+                nxt = (self._dispatch(references[i].remove_hs(), n_samples,
+                                      variance)
+                       if i < len(references) else None)
             if pending is not None:
                 ref = pending[0]
-                valid = self._finish(pending)
+                valid = self._finish(pending, timer=timer)
                 rep.n_valid += len(valid)
                 if score:
-                    _, scored = evaluate_samples(ref, valid)
+                    with timer.stage("score"):
+                        _, scored = evaluate_samples(ref, valid)
                     for s, mol in zip(scored, valid):
                         st, ct = s["shape_tanimoto"], s["chemical_tanimoto"]
                         shape_sum += st
@@ -171,4 +189,10 @@ class ScreeningDriver:
                     e["chemical_tanimoto"] /= e["n"]
         rep.unique_within_batch = len(
             {identity_key(m) for m in rep.samples})
+        timer.count("requested", rep.n_requested)
+        timer.count("valid", rep.n_valid)
+        #: per-stage evidence of host/device overlap: with the depth-1
+        #: pipeline, ``device_wait_s`` collapses toward one request's device
+        #: time while ``host_chem_s`` runs concurrently with device compute.
+        self.last_metrics = timer.summary()
         return rep

@@ -10,7 +10,6 @@ meshes; the per-layer edge exchange stays on ICI.
 from __future__ import annotations
 
 import jax
-
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -18,8 +17,10 @@ from ..config import DiffusionConfig, EGNNConfig
 from ..parallel.edge_shard import dynamics_forward_sharded
 from .loss import edm_training_loss
 
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12):
     return optax.adamw(lr, weight_decay=weight_decay)
+
 
 def make_train_step(mesh: Mesh, egnn_cfg: EGNNConfig,
                     diff_cfg: DiffusionConfig, optimizer=None):

@@ -172,3 +172,55 @@ def test_largest_fragment():
     frag = mol.largest_fragment()
     assert frag.num_atoms == 3
     assert frag.num_bonds == 2
+
+
+def test_smiles_output_order_linear_chain():
+    """Propanol-shaped chain: the writer order is terminal-to-terminal
+    (RDKit canonical SMILES 'CCCO'), NOT a rank argsort that could start
+    mid-chain (reference order semantics, mol_utils.py:110-126)."""
+    from ml_conformer_generator_tpu.chem.canonical import smiles_output_order
+    mol = Molecule(np.array([8, 6, 6, 6]), np.zeros((4, 3)),
+                   [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    order = smiles_output_order(mol)
+    # starts at the terminal carbon (lowest rank: deg-1, Z=6), walks the chain
+    assert order == [3, 2, 1, 0]
+
+
+def test_smiles_output_order_is_connected_dfs():
+    """Every atom after the first of a fragment is bonded to an earlier one
+    (the property a SMILES writer order always has)."""
+    mol = determine_connectivity(read_mol_file(CEYYAG).remove_hs())
+    from ml_conformer_generator_tpu.chem.canonical import smiles_output_order
+    order = smiles_output_order(mol)
+    pos = {a: k for k, a in enumerate(order)}
+    adj = mol.neighbors()
+    for k, a in enumerate(order[1:], start=1):
+        assert any(pos[b] < k for b in adj[a])
+
+
+def test_smiles_output_order_permutation_invariant():
+    mol = determine_connectivity(read_mol_file(PABA).remove_hs())
+    from ml_conformer_generator_tpu.chem.canonical import smiles_output_order
+    perm = np.random.default_rng(1).permutation(mol.num_atoms)
+    mol_p = mol.renumber(perm.tolist())
+    c1 = mol.renumber(smiles_output_order(mol))
+    c2 = mol_p.renumber(smiles_output_order(mol_p))
+    np.testing.assert_array_equal(c1.atomic_nums, c2.atomic_nums)
+    b1 = {(min(i, j), max(i, j), o) for i, j, o in c1.bonds}
+    b2 = {(min(i, j), max(i, j), o) for i, j, o in c2.bonds}
+    assert b1 == b2
+
+
+def test_featurize_native_and_python_order_agree():
+    """prepare_adj_mat_seer_input's native-ranked fast path must produce the
+    same canonical order as the pure-Python canonicalise fallback."""
+    from ml_conformer_generator_tpu.chem import native
+    from ml_conformer_generator_tpu.chem.featurize import (
+        prepare_adj_mat_seer_input)
+    mols = [read_mol_file(CEYYAG).remove_hs(), read_mol_file(PABA).remove_hs()]
+    _, _, _, canon = prepare_adj_mat_seer_input(mols)
+    expected = [canonicalise(determine_connectivity(m)) for m in mols]
+    for got, want in zip(canon, expected):
+        if native.available():
+            np.testing.assert_array_equal(got.atomic_nums, want.atomic_nums)
+            np.testing.assert_allclose(got.coords, want.coords)

@@ -90,8 +90,6 @@ def test_load_onnx_edm_roundtrip(tmp_path):
 def test_onnx_generator_class(tmp_path):
     """MLConformerGeneratorONNX (reference conformer_generator_onnx.py:18-35)
     builds the full pipeline straight from .onnx weight artifacts."""
-    import jax.numpy as jnp
-
     from ml_conformer_generator_tpu import MLConformerGeneratorONNX
     from ml_conformer_generator_tpu.checkpoint import (
         adj_mat_seer_params_to_torch_names)
@@ -124,3 +122,13 @@ def test_onnx_generator_class(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(adj_params),
                     jax.tree_util.tree_leaves(gen.adj_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_onnx_generator_rejects_non_onnx_paths():
+    import pytest as _pytest
+
+    from ml_conformer_generator_tpu.generator import MLConformerGeneratorONNX
+
+    with _pytest.raises(ValueError, match="egnn_onnx"):
+        MLConformerGeneratorONNX(egnn_onnx="weights.pt",
+                                 adj_mat_seer_onnx="adj.onnx")

@@ -35,6 +35,10 @@ def test_screen_two_references(driver):
     assert rep.n_requested == 12
     assert 0 <= rep.n_valid <= 12
     assert rep.total_gen_time_s > 0
+    # overlap evidence contract: per-stage split recorded on every screen
+    m = driver.last_metrics
+    assert {"dispatch_s", "device_wait_s", "host_chem_s"} <= set(m)
+    assert m["requested"] == 12 and m["valid"] == rep.n_valid
 
 
 def test_batch_rounds_to_mesh_multiple(driver):
