@@ -27,11 +27,22 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict
 
-from ..chem.io import from_mol_block, write_sdf
+from ..chem.io import from_mol_block, from_pdb_block, write_sdf
 from ..eval.pipeline import evaluate_samples
 from .ui import INDEX_HTML
 
 __all__ = ["ConformerServer", "main"]
+
+
+def _parse_reference(text: str):
+    """Accept a molblock OR a PDB block (reference app.py:100-115 accepts
+    .mol and .pdb uploads): sniff by ATOM/HETATM coordinate records."""
+    for line in text.split("\n"):
+        if line[:6].strip() in ("ATOM", "HETATM"):
+            return from_pdb_block(text)
+        if "V2000" in line:
+            break
+    return from_mol_block(text)
 
 
 class ConformerServer:
@@ -69,7 +80,7 @@ class ConformerServer:
         if not (0 <= variance <= 5):
             raise ValueError("variance must be in [0, 5]")
 
-        reference = from_mol_block(mol_block)
+        reference = _parse_reference(mol_block)
         with self._lock:
             gen = self._generator(steps)
             t0 = time.perf_counter()

@@ -42,9 +42,9 @@ INDEX_HTML = r"""<!DOCTYPE html>
 <body>
 <div class="panel">
  <h1>ML Conformer Generator <span style="color:var(--dim)">TPU</span></h1>
- <label>Reference conformer (.mol block)</label>
+ <label>Reference conformer (.mol, .sdf or .pdb)</label>
  <textarea id="molblock" placeholder="Paste a MOL block or choose a file"></textarea>
- <input type="file" id="molfile" accept=".mol,.sdf">
+ <input type="file" id="molfile" accept=".mol,.sdf,.pdb">
  <label>Samples <span class="val" id="nsv">20</span></label>
  <input type="range" id="nsamples" min="10" max="40" value="20"
         oninput="nsv.textContent=this.value">

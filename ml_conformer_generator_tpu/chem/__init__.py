@@ -8,7 +8,8 @@ from .bonds import bonds_from_adjacency_logits, redefine_bonds
 from .canonical import canonical_ranks, canonicalise, smiles_output_order
 from .featurize import (fragment_to_xh, prepare_adj_mat_seer_input,
                         samples_to_molecules)
-from .io import (from_mol_block, from_xyz_block, read_mol_file, read_sdf,
+from .io import (from_mol_block, from_pdb_block, from_xyz_block,
+                 read_mol_file, read_sdf,
                  to_mol_block, to_xyz_block, write_sdf)
 from .mol import Molecule
 from .molgraph import MolGraph, vector_graph_sort
@@ -21,7 +22,7 @@ __all__ = [
     "canonical_ranks", "canonicalise", "smiles_output_order",
     "determine_connectivity", "find_rings",
     "MolGraph", "vector_graph_sort",
-    "fragment_to_xh", "from_mol_block", "from_xyz_block",
+    "fragment_to_xh", "from_mol_block", "from_pdb_block", "from_xyz_block",
     "implicit_hydrogens", "kekulize", "prepare_adj_mat_seer_input",
     "read_mol_file", "read_sdf", "redefine_bonds", "samples_to_molecules",
     "sanitize", "standardize_batch", "standardize_mol", "to_mol_block",

@@ -1,4 +1,4 @@
-"""Molecule file I/O: XYZ, MDL molblock (V2000), SDF.
+"""Molecule file I/O: XYZ, MDL molblock (V2000), SDF, PDB.
 
 Replaces the RDKit I/O the reference uses (``Chem.MolFromXYZBlock``,
 ``Chem.MolToMolBlock``, SDF writers in the app/eval scripts) with a small
@@ -119,6 +119,64 @@ def to_mol_block(mol: Molecule, name: Optional[str] = None,
 
 
 # ---------------------------------------------------------------------------
+# PDB (ATOM/HETATM coordinate records)
+# ---------------------------------------------------------------------------
+
+
+def from_pdb_block(block: str) -> Molecule:
+    """Read a PDB coordinate block (the app's second accepted input type,
+    reference ``streamlit_app/app.py:100-115`` via ``Chem.MolFromPDBBlock``).
+
+    Parses ATOM/HETATM records of the first MODEL: coordinates from columns
+    31-54, the element from columns 77-78 (falling back to the atom-name
+    field when absent, ignoring leading digits). CONECT records become single
+    bonds; most PDB files carry no CONECT for small molecules, which is fine —
+    the pipeline only needs heavy-atom coordinates (connectivity is perceived
+    from geometry downstream, as the reference's DetermineConnectivity does).
+    """
+    atomic_nums, coords, serials = [], [], {}
+    bonds = set()
+    for line in block.split("\n"):
+        rec = line[:6].strip()
+        if rec in ("ATOM", "HETATM"):
+            try:
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+            except (ValueError, IndexError):
+                raise ValueError(f"malformed PDB coordinate record: {line!r}")
+            elem = line[76:78].strip() if len(line) >= 77 else ""
+            if not elem:
+                name = line[12:16].strip().lstrip("0123456789")
+                # 2-letter element iff both chars of the name's element part
+                # are alphabetic and the pair is a known symbol (Cl, Br, ...)
+                elem = name[:2].capitalize() if (
+                    len(name) >= 2 and name[:2].isalpha()
+                    and periodic.is_element(name[:2].capitalize())) \
+                    else name[:1].upper()
+            atomic_nums.append(periodic.atomic_num(elem.capitalize()))
+            coords.append([x, y, z])
+            serial = line[6:11].strip()
+            if serial:
+                serials[serial] = len(atomic_nums) - 1
+        elif rec == "CONECT":
+            fields = line[6:].split()
+            if fields and fields[0] in serials:
+                a = serials[fields[0]]
+                for f in fields[1:]:
+                    if f in serials:
+                        b = serials[f]
+                        if a != b:
+                            bonds.add((min(a, b), max(a, b)))
+        elif rec == "ENDMDL":
+            break  # first model only
+    if not atomic_nums:
+        raise ValueError("no ATOM/HETATM records in PDB block")
+    return Molecule(np.array(atomic_nums), np.array(coords),
+                    [(i, j, 1) for i, j in sorted(bonds)])
+
+
+# ---------------------------------------------------------------------------
 # SDF
 # ---------------------------------------------------------------------------
 
@@ -153,4 +211,6 @@ def read_mol_file(path: str) -> Molecule:
         text = f.read()
     if path.endswith(".xyz"):
         return from_xyz_block(text)
+    if path.endswith(".pdb"):
+        return from_pdb_block(text)
     return from_mol_block(text)

@@ -73,6 +73,10 @@ def symbol(z: int) -> str:
         raise ValueError(f"Unsupported atomic number {z}") from e
 
 
+def is_element(sym: str) -> bool:
+    return sym in ATOMIC_NUMS
+
+
 def atomic_num(sym: str) -> int:
     s = sym.strip()
     s = s[0].upper() + s[1:].lower() if len(s) > 1 else s.upper()

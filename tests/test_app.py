@@ -91,3 +91,22 @@ def test_http_roundtrip(app_server):
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_generate_accepts_pdb_reference(app_server):
+    """PDB upload path (reference streamlit_app/app.py:100-115)."""
+    from ml_conformer_generator_tpu.chem import read_mol_file, to_xyz_block
+    from ml_conformer_generator_tpu.chem.io import from_xyz_block
+
+    # build a PDB block from the demo reference's heavy atoms
+    ref = read_mol_file(CEYYAG).remove_hs()
+    lines = ["HEADER    DEMO"]
+    for k, (sym, (x, y, z)) in enumerate(zip(ref.symbols(), ref.coords), 1):
+        lines.append(f"HETATM{k:5d} {sym:<4}LIG A   1    "
+                     f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          "
+                     f"{sym.upper():>2}")
+    lines.append("END")
+    out = app_server.generate({"mol_block": "\n".join(lines),
+                               "n_samples": 2, "diffusion_steps": 4})
+    assert "reference_mol_block" in out
+    assert out["metrics"]["requested"] == 2

@@ -224,3 +224,46 @@ def test_featurize_native_and_python_order_agree():
         if native.available():
             np.testing.assert_array_equal(got.atomic_nums, want.atomic_nums)
             np.testing.assert_allclose(got.coords, want.coords)
+
+
+PDB_SAMPLE = """HEADER    TEST MOLECULE
+ATOM      1  N   ALA A   1      11.104   6.134  -6.504  1.00  0.00           N
+ATOM      2  CA  ALA A   1      11.639   6.071  -5.147  1.00  0.00           C
+ATOM      3  C   ALA A   1      10.762   5.191  -4.269  1.00  0.00           C
+HETATM    4 CL1  LIG A   2       9.000   5.000  -4.000  1.00  0.00          CL
+HETATM    5  O1  LIG A   2       8.000   4.000  -3.000  1.00  0.00
+CONECT    4    5
+TER
+END
+"""
+
+
+def test_pdb_block_parsing():
+    """PDB input path (reference streamlit_app/app.py:100-115 accepts .pdb):
+    ATOM/HETATM coords, element column with atom-name fallback, CONECT."""
+    from ml_conformer_generator_tpu.chem import from_pdb_block
+    m = from_pdb_block(PDB_SAMPLE)
+    assert list(m.atomic_nums) == [7, 6, 6, 17, 8]
+    np.testing.assert_allclose(m.coords[0], [11.104, 6.134, -6.504])
+    assert m.bonds == [(3, 4, 1)]
+
+
+def test_read_mol_file_pdb(tmp_path):
+    p = tmp_path / "ref.pdb"
+    p.write_text(PDB_SAMPLE)
+    m = read_mol_file(str(p))
+    assert m.num_atoms == 5
+
+
+def test_pdb_first_model_only():
+    from ml_conformer_generator_tpu.chem import from_pdb_block
+    two_models = (
+        "MODEL        1\n"
+        "ATOM      1  C   MOL A   1       0.000   0.000   0.000  1.00  0.00           C\n"
+        "ENDMDL\n"
+        "MODEL        2\n"
+        "ATOM      1  C   MOL A   1       9.000   9.000   9.000  1.00  0.00           C\n"
+        "ENDMDL\n")
+    m = from_pdb_block(two_models)
+    assert m.num_atoms == 1
+    np.testing.assert_allclose(m.coords[0], [0.0, 0.0, 0.0])
