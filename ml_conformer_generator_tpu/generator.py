@@ -284,8 +284,8 @@ class MLConformerGenerator:
         if reference_conformer is not None:
             ref = reference_conformer.remove_hs()
             ref_n_atoms = ref.num_atoms
-            coords = jnp.asarray(ref.coords, dtype=jnp.float32)
-            coords = coords - jnp.mean(coords, axis=0)
+            coords = np.asarray(ref.coords, dtype=np.float32)
+            coords = coords - coords.mean(axis=0)
             ref_context, _ = get_context_shape(coords)
         elif reference_context is not None:
             if not n_atoms:

@@ -75,8 +75,8 @@ class MLConformerGeneratorAOT:
         full generator — the reference's ONNX path has the same split)."""
         if reference_conformer is not None:
             ref = reference_conformer.remove_hs()
-            coords = jnp.asarray(ref.coords, dtype=jnp.float32)
-            coords = coords - jnp.mean(coords, axis=0)
+            coords = np.asarray(ref.coords, dtype=np.float32)
+            coords = coords - coords.mean(axis=0)
             ref_context, _ = get_context_shape(coords)
             ref_n = ref.num_atoms
         elif reference_context is not None:

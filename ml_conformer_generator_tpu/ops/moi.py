@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def moment_of_inertia_tensor(coord: jnp.ndarray,
@@ -33,16 +34,30 @@ def moment_of_inertia_tensor(coord: jnp.ndarray,
                       [i_xz, i_yz, i_zz]], dtype=jnp.float32)
 
 
-def get_context_shape(coord: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _np_moi(coord: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    x, y, z = coord[:, 0], coord[:, 1], coord[:, 2]
+    return np.array(
+        [[np.sum(weights * (y ** 2 + z ** 2)), -np.sum(x * y), -np.sum(x * z)],
+         [-np.sum(x * y), np.sum(weights * (x ** 2 + z ** 2)), -np.sum(y * z)],
+         [-np.sum(x * z), -np.sum(y * z), np.sum(weights * (x ** 2 + y ** 2))]],
+        dtype=np.float32)
+
+
+def get_context_shape(coord) -> Tuple[np.ndarray, np.ndarray]:
     """Principal MOI components (the EDM context) + coords in the principal frame.
 
-    Unit masses: the context captures *shape* only.
+    Unit masses: the context captures *shape* only. Computed host-side in
+    numpy (as the reference does on CPU torch, ``mol_utils.py:88-107``): a
+    3x3 eigh on <=42 points is microseconds on the host, and keeping it off
+    the device saves ~10 dispatch round trips per request through this
+    machine's TPU tunnel (~1.4 ms each).
     """
-    masses = jnp.ones(coord.shape[0], dtype=jnp.float32)
-    moi = moment_of_inertia_tensor(coord, masses)
-    _, eigenvectors = jnp.linalg.eigh(moi)
-    rotated = coord.astype(jnp.float32) @ eigenvectors
-    context = jnp.diag(moment_of_inertia_tensor(rotated, masses))
+    c = np.asarray(coord, dtype=np.float32)
+    masses = np.ones(c.shape[0], dtype=np.float32)
+    moi = _np_moi(c, masses)
+    _, eigenvectors = np.linalg.eigh(moi)
+    rotated = c @ eigenvectors.astype(np.float32)
+    context = np.diag(_np_moi(rotated, masses)).copy()
     return context, rotated
 
 

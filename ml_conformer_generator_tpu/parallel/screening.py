@@ -84,8 +84,8 @@ class ScreeningDriver:
         """Enqueue one reference's device sampling; returns device futures."""
         gen = self.generator
         ref = reference.remove_hs()
-        coords = jnp.asarray(ref.coords, dtype=jnp.float32)
-        coords = coords - jnp.mean(coords, axis=0)
+        coords = np.asarray(ref.coords, dtype=np.float32)
+        coords = coords - coords.mean(axis=0)
         ref_context, _ = get_context_shape(coords)
         B = self._round_batch(n_samples)
         mx = min(ref.num_atoms + variance, gen.max_n_nodes)

@@ -10,6 +10,7 @@ flattens to ``(B*N*N, 1)`` for its COO edge stream); node-count draws use
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -39,6 +40,22 @@ def normalize_context(reference_context: jnp.ndarray,
     return (reference_context - mean) / mad
 
 
+@partial(jax.jit,
+         static_argnames=("n_samples", "min_n_nodes", "max_n_nodes", "N"))
+def _edm_input_device(key, reference_context, mean, mad, *, n_samples,
+                      min_n_nodes, max_n_nodes, N):
+    """One compiled program for the whole input prep: through this machine's
+    TPU tunnel every eager op is a ~1.4 ms round trip, so the ~15 ops of
+    mask/context construction are fused into a single dispatch."""
+    n_nodes = jax.random.randint(key, (n_samples,), min_n_nodes,
+                                 max_n_nodes + 1)
+    node_mask, edge_mask = prepare_masks(n_nodes, N)
+    normed = (jnp.asarray(reference_context, jnp.float32) - mean) / mad
+    batch_context = jnp.broadcast_to(
+        normed.reshape(1, 1, 3), (n_samples, N, 3)) * node_mask
+    return node_mask, edge_mask, batch_context, n_nodes
+
+
 def prepare_edm_input(key, n_samples: int, reference_context: jnp.ndarray,
                       context_norms: Dict[str, Tuple[float, ...]],
                       min_n_nodes: int, max_n_nodes: int,
@@ -51,13 +68,11 @@ def prepare_edm_input(key, n_samples: int, reference_context: jnp.ndarray,
     Returns (node_mask, edge_mask, batch_context, n_nodes).
     """
     N = max(max_n_nodes, n_nodes_pad)
-    n_nodes = jax.random.randint(key, (n_samples,), min_n_nodes,
-                                 max_n_nodes + 1)
-    node_mask, edge_mask = prepare_masks(n_nodes, N)
-    normed = normalize_context(reference_context, context_norms)
-    batch_context = jnp.broadcast_to(
-        normed.reshape(1, 1, 3), (n_samples, N, 3)) * node_mask
-    return node_mask, edge_mask, batch_context, n_nodes
+    mean = jnp.asarray(context_norms["mean"], dtype=jnp.float32)
+    mad = jnp.asarray(context_norms["mad"], dtype=jnp.float32)
+    return _edm_input_device(key, reference_context, mean, mad,
+                             n_samples=n_samples, min_n_nodes=min_n_nodes,
+                             max_n_nodes=max_n_nodes, N=N)
 
 
 def pad_to_bucket(n: int, bucket: int = 8) -> int:
