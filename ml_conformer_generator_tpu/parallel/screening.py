@@ -137,46 +137,56 @@ class ScreeningDriver:
 
     def screen(self, references: Sequence[Molecule], n_samples: int = 100,
                variance: int = 2, score: bool = True,
-               progress: bool = False) -> EvaluationReport:
-        """Screen all references; device queue stays one request ahead of the
-        host chemistry/scoring pipeline."""
+               progress: bool = False,
+               queue_depth: int = 1) -> EvaluationReport:
+        """Screen all references; the device queue stays up to ``queue_depth``
+        requests ahead of the host chemistry/scoring pipeline (depth 1 —
+        double buffering — already hides host chem behind device compute on
+        one chip; deeper queues help when many chips drain requests faster
+        than one host standardises them)."""
+        from collections import deque
+
         rep = EvaluationReport(
             n_references=len(references), n_samples_per_reference=n_samples,
             n_requested=len(references) * n_samples)
         shape_sum = chem_sum = 0.0
         timer = StageTimer()
         t_start = time.perf_counter()
+        done_count = 0
 
-        pending = None
-        for i in range(len(references) + 1):
+        def consume(pending):
+            nonlocal shape_sum, chem_sum, done_count
+            ref = pending[0]
+            valid = self._finish(pending, timer=timer)
+            rep.n_valid += len(valid)
+            if score:
+                with timer.stage("score"):
+                    _, scored = evaluate_samples(ref, valid)
+                for s, mol in zip(scored, valid):
+                    st, ct = s["shape_tanimoto"], s["chemical_tanimoto"]
+                    shape_sum += st
+                    chem_sum += ct
+                    rep.max_shape_tanimoto = max(rep.max_shape_tanimoto, st)
+                    _acc(rep.by_ref_size, ref.num_atoms, st, ct)
+                    _acc(rep.by_variance, ref.num_atoms - mol.num_atoms,
+                         st, ct)
+                    rep.samples.append(from_mol_block(s["mol_block"]))
+            else:
+                rep.samples.extend(valid)
+            done_count += 1
+            if progress:
+                print(f"[screen] {done_count}/{len(references)}: "
+                      f"{len(valid)}/{n_samples} valid")
+
+        pending = deque()
+        for reference in references:
             with timer.stage("dispatch"):
-                nxt = (self._dispatch(references[i].remove_hs(), n_samples,
-                                      variance)
-                       if i < len(references) else None)
-            if pending is not None:
-                ref = pending[0]
-                valid = self._finish(pending, timer=timer)
-                rep.n_valid += len(valid)
-                if score:
-                    with timer.stage("score"):
-                        _, scored = evaluate_samples(ref, valid)
-                    for s, mol in zip(scored, valid):
-                        st, ct = s["shape_tanimoto"], s["chemical_tanimoto"]
-                        shape_sum += st
-                        chem_sum += ct
-                        rep.max_shape_tanimoto = max(rep.max_shape_tanimoto,
-                                                     st)
-                        _acc(rep.by_ref_size, ref.num_atoms, st, ct)
-                        _acc(rep.by_variance,
-                             ref.num_atoms - mol.num_atoms, st, ct)
-                        rep.samples.append(from_mol_block(s["mol_block"]))
-                else:
-                    rep.samples.extend(valid)
-                if progress:
-                    done = i if i <= len(references) else len(references)
-                    print(f"[screen] {done}/{len(references)}: "
-                          f"{len(valid)}/{n_samples} valid")
-            pending = nxt
+                pending.append(self._dispatch(reference.remove_hs(),
+                                              n_samples, variance))
+            while len(pending) > max(queue_depth, 1):
+                consume(pending.popleft())
+        while pending:
+            consume(pending.popleft())
 
         rep.total_gen_time_s = time.perf_counter() - t_start
         if rep.n_valid and score:

@@ -65,3 +65,12 @@ def test_screen_with_scoring(driver):
     assert rep.n_valid == len(rep.samples)
     if rep.n_valid:
         assert 0.0 <= rep.avg_shape_tanimoto <= 1.0
+
+
+def test_screen_queue_depth_two(driver):
+    refs = [read_mol_file(CEYYAG)] * 3
+    rep = driver.screen(refs, n_samples=6, variance=2, score=False,
+                        queue_depth=2)
+    assert rep.n_references == 3
+    assert rep.n_requested == 18
+    assert driver.last_metrics["requested"] == 18
