@@ -74,25 +74,34 @@ def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
             if gen.min_n_nodes <= m.num_atoms <= gen.max_n_nodes]
     refs = [pool[i % len(pool)] for i in range(n_requests)]
 
+    from ml_conformer_generator_tpu.utils.masks import pad_to_bucket
+
+    def bucket_of(r):
+        # must mirror ScreeningDriver._dispatch's node-axis bucketing
+        return pad_to_bucket(min(r.num_atoms + variance, gen.max_n_nodes), 8)
+
     # Warmup/compile: one request per distinct node-count bucket.
     seen, warm = set(), []
     for r in pool:
-        b = (r.num_atoms + variance + 7) // 8
-        if b not in seen:
-            seen.add(b)
+        if bucket_of(r) not in seen:
+            seen.add(bucket_of(r))
             warm.append(r)
     driver.screen(warm, n_samples=batch, variance=variance, score=False)
 
-    # Serial device time of one request (for overlap accounting).
-    t0 = time.perf_counter()
-    d = driver._dispatch(refs[0], batch, variance)
-    jax.block_until_ready(d[1][:2])
-    dev_s_per_req = time.perf_counter() - t0
+    # Serial device time per distinct bucket (for overlap accounting —
+    # different buckets run differently-sized programs).
+    dev_s = {}
+    for r in warm:
+        t0 = time.perf_counter()
+        d = driver._dispatch(r, batch, variance)
+        jax.block_until_ready(d[1][:2])
+        dev_s[bucket_of(r)] = time.perf_counter() - t0
 
     rep = driver.screen(refs, n_samples=batch, variance=variance, score=False)
     wall = rep.total_gen_time_s
     m = dict(driver.last_metrics)
-    device_total = dev_s_per_req * n_requests
+    device_total = sum(dev_s[bucket_of(r)] for r in refs)
+    dev_s_per_req = device_total / max(n_requests, 1)
     host_s = m.get("host_chem_s", 0.0)
     saved = max(0.0, device_total + host_s + m.get("dispatch_s", 0.0) - wall)
     denom = min(device_total, host_s)
@@ -263,7 +272,11 @@ def main() -> None:
     if args.workload == "screen" and not args.no_e2e:
         # Device-only AND end-to-end figures in one bench line (the judged
         # artifact): the e2e dict carries valid mol/s, per-stage split and
-        # host/device overlap of the full public pipeline.
+        # host/device overlap of the full public pipeline. Free the main
+        # loop's arrays first — the e2e phase builds its own generator.
+        import gc
+        del outs, params, adj_params, requests, gen, adj_fwd
+        gc.collect()
         out["e2e"] = measure_e2e(args.steps, args.dtype, args.e2e_requests,
                                  args.batch, args.variance)
     print(json.dumps(out))

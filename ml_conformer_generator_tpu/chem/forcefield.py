@@ -72,11 +72,20 @@ class FFBatch:
 
 
 def _hybridisation(mol: Molecule, neigh, orders) -> List[int]:
-    """2 = sp, 3 = sp2, 4 = sp3 (by max bond order / neighbour count)."""
+    """2 = sp, 3 = sp2, 4 = sp3 (by bond orders / neighbour count).
+
+    Hypervalent centres are NOT inferred from multiple bonds: S and P keep
+    pyramidal/tetrahedral geometry (sulfoxides, sulfones, phosphates), and
+    any >=4-coordinate centre is tetrahedral regardless of its bond orders.
+    """
     hyb = []
     for a in range(mol.num_atoms):
-        os_ = [orders[(a, n)] for n in neigh[a]]
-        if 3 in os_ or os_.count(2) >= 2:
+        ns = neigh[a]
+        os_ = [orders[(a, n)] for n in ns]
+        z = int(mol.atomic_nums[a])
+        if len(ns) >= 4 or z in (15, 16):
+            hyb.append(4)
+        elif (3 in os_ or os_.count(2) >= 2) and len(ns) <= 2:
             hyb.append(2)
         elif 2 in os_ or 4 in os_:
             hyb.append(3)

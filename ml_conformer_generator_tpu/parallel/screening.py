@@ -50,6 +50,8 @@ class ScreeningDriver:
 
     def __init__(self, generator, mesh: Optional[Mesh] = None):
         self.generator = generator
+        #: per-stage latency/yield of the most recent screen() (empty before)
+        self.last_metrics = {}
         self.mesh = mesh if mesh is not None else make_mesh(
             (len(jax.devices()), 1))
         n_data = self.mesh.shape["data"]
@@ -107,33 +109,32 @@ class ScreeningDriver:
         """Host chem for one dispatched request (blocks on its arrays)."""
         gen = self.generator
         ref, (x, h, node_mask), n_samples = dispatched
-        if timer is not None:
-            # Time spent actually waiting on the device: with the depth-1
-            # pipeline this should be (nearly) the full device time of the
-            # FIRST request only — later requests were computed while the
-            # host chewed on their predecessors (SURVEY.md §7 hard part 3).
-            with timer.stage("device_wait"):
-                jax.block_until_ready((x, h))
-        t0 = time.perf_counter()
-        # keep the padded batch through the sharded bond predictor (its batch
-        # axis must stay divisible by the data axis), trim afterwards
-        mols = samples_to_molecules(np.asarray(x), np.asarray(h),
-                                    np.asarray(node_mask), gen.atom_decoder)
-        elements, dist, adj, canon = prepare_adj_mat_seer_input(
-            mols, gen.dimension)
-        # (B, D, D) int8 bond types — argmax-decoded on device (gen._adj_fn)
-        bond_types = np.asarray(self._adj(
-            gen.adj_params, jnp.asarray(elements), jnp.asarray(dist),
-            jnp.asarray(adj)))
-        bonded = [redefine_bonds(canon[i], bond_types[i])
-                  for i in range(min(n_samples, len(canon)))]
-        out = [m for m in standardize_batch(bonded, True) if m is not None]
-        if timer is not None:
-            # host featurisation/standardisation (plus the small bond-predictor
-            # device program it synchronises on)
-            timer.stages["host_chem"] = (timer.stages.get("host_chem", 0.0)
-                                         + time.perf_counter() - t0)
-        return out
+        if timer is None:
+            timer = StageTimer()  # throwaway: keeps one code path below
+        # Time spent actually waiting on the device: with the depth-1
+        # pipeline this should be (nearly) the full device time of the
+        # FIRST request only — later requests were computed while the
+        # host chewed on their predecessors (SURVEY.md §7 hard part 3).
+        with timer.stage("device_wait"):
+            jax.block_until_ready((x, h))
+        # host featurisation/standardisation (plus the small bond-predictor
+        # device program it synchronises on)
+        with timer.stage("host_chem"):
+            # keep the padded batch through the sharded bond predictor (its
+            # batch axis must stay divisible by the data axis), trim after
+            mols = samples_to_molecules(np.asarray(x), np.asarray(h),
+                                        np.asarray(node_mask),
+                                        gen.atom_decoder)
+            elements, dist, adj, canon = prepare_adj_mat_seer_input(
+                mols, gen.dimension)
+            # (B, D, D) int8 bond types — argmax-decoded on device (_adj_fn)
+            bond_types = np.asarray(self._adj(
+                gen.adj_params, jnp.asarray(elements), jnp.asarray(dist),
+                jnp.asarray(adj)))
+            bonded = [redefine_bonds(canon[i], bond_types[i])
+                      for i in range(min(n_samples, len(canon)))]
+            return [m for m in standardize_batch(bonded, True)
+                    if m is not None]
 
     def screen(self, references: Sequence[Molecule], n_samples: int = 100,
                variance: int = 2, score: bool = True,

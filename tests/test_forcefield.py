@@ -130,3 +130,39 @@ def test_batch_relaxation_matches_single():
     single = optimize_geometry([m2], n_steps=100)[0]
     batched = optimize_geometry([m1, m2], n_steps=100)[1]
     np.testing.assert_allclose(batched.coords, single.coords, atol=2e-3)
+
+
+def test_hybridisation_hypervalent_and_sp2():
+    """Hypervalent S/P stay tetrahedral/pyramidal; nitro N is trigonal, not
+    linear; nitriles are linear; no improper term flattens a sulfoxide."""
+    from ml_conformer_generator_tpu.chem.forcefield import (_hybridisation,
+                                                            build_ff_batch)
+
+    def hyb(zs, bonds):
+        m = Molecule(np.array(zs), np.zeros((len(zs), 3)), bonds)
+        neigh = m.neighbors()
+        orders = {}
+        for i, j, o in m.bonds:
+            orders[(i, j)] = o
+            orders[(j, i)] = o
+        return _hybridisation(m, neigh, orders), m
+
+    # sulfone S(=O)(=O)(C)(C) -> tetrahedral
+    h, _ = hyb([16, 8, 8, 6, 6], [(0, 1, 2), (0, 2, 2), (0, 3, 1), (0, 4, 1)])
+    assert h[0] == 4
+    # sulfoxide S(=O)(C)(C) -> pyramidal (sp3 label), and NO improper on S
+    h, m = hyb([16, 8, 6, 6], [(0, 1, 2), (0, 2, 1), (0, 3, 1)])
+    assert h[0] == 4
+    ff = build_ff_batch([m], 8)
+    assert ff.improper_mask.sum() == 0
+    # nitro N(=O)(=O)C -> trigonal planar (sp2), WITH an improper
+    h, m = hyb([7, 8, 8, 6], [(0, 1, 2), (0, 2, 2), (0, 3, 1)])
+    assert h[0] == 3
+    ff = build_ff_batch([m], 8)
+    assert ff.improper_mask.sum() == 1
+    # nitrile carbon C(#N)(C) -> linear
+    h, _ = hyb([6, 7, 6], [(0, 1, 3), (0, 2, 1)])
+    assert h[0] == 2
+    # aromatic ring carbon (kekulised): sp2
+    h, _ = hyb([6, 6, 6], [(0, 1, 2), (0, 2, 1)])
+    assert h[0] == 3
