@@ -47,7 +47,7 @@ REFERENCE_VALIDITY = 0.48                  # README.md:115
 
 
 def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
-                variance: int) -> dict:
+                variance: int, bucket: int = 8) -> dict:
     """End-to-end valid-mol/s through the public pipeline (north-star metric).
 
     Drives ``ScreeningDriver.screen`` (the full ``generate_conformers``
@@ -65,7 +65,8 @@ def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
     from ml_conformer_generator_tpu.generator import MLConformerGenerator
     from ml_conformer_generator_tpu.parallel.screening import ScreeningDriver
 
-    gen = MLConformerGenerator(diffusion_steps=steps, compute_dtype=dtype)
+    gen = MLConformerGenerator(diffusion_steps=steps, compute_dtype=dtype,
+                               node_bucket=bucket)
     driver = ScreeningDriver(gen)
     pool = [read_mol_file(f).remove_hs()
             for f in sorted(glob.glob(
@@ -78,7 +79,8 @@ def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
 
     def bucket_of(r):
         # must mirror ScreeningDriver._dispatch's node-axis bucketing
-        return pad_to_bucket(min(r.num_atoms + variance, gen.max_n_nodes), 8)
+        return pad_to_bucket(min(r.num_atoms + variance, gen.max_n_nodes),
+                             gen.node_bucket)
 
     # Warmup/compile: one request per distinct node-count bucket.
     seen, warm = set(), []
@@ -142,6 +144,9 @@ def main() -> None:
     ap.add_argument("--nodes", type=int, default=42,
                     help="fixed workload: padded node count")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--bucket", type=int, default=8,
+                    help="screen workload: node-axis bucket size (smaller = "
+                         "less N^2 padding waste, more compiled programs)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="MXU compute precision for the denoiser MLPs")
@@ -153,7 +158,7 @@ def main() -> None:
 
     if args.workload == "e2e":
         e2e = measure_e2e(args.steps, args.dtype, args.e2e_requests,
-                          args.batch, args.variance)
+                          args.batch, args.variance, bucket=args.bucket)
         print(json.dumps({
             "metric": "e2e_valid_mol_per_s",
             "value": e2e["valid_mol_per_s"],
@@ -231,10 +236,10 @@ def main() -> None:
             inp = prepare_edm_input(
                 jax.random.PRNGKey(1000 + i), B, ref_ctx, CONTEXT_NORMS,
                 min_n_nodes=mn, max_n_nodes=mx,
-                n_nodes_pad=pad_to_bucket(mx, 8))
+                n_nodes_pad=pad_to_bucket(mx, args.bucket))
             requests.append(inp[:3])
         shape_desc = (f"{args.requests} refs 15-39 ±{args.variance}, "
-                      f"buckets of 8")
+                      f"buckets of {args.bucket}")
 
     # Warmup / compile: one call per distinct shape bucket.
     seen = set()
@@ -278,7 +283,8 @@ def main() -> None:
         del outs, params, adj_params, requests, gen, adj_fwd
         gc.collect()
         out["e2e"] = measure_e2e(args.steps, args.dtype, args.e2e_requests,
-                                 args.batch, args.variance)
+                                 args.batch, args.variance,
+                                 bucket=args.bucket)
     print(json.dumps(out))
 
 

@@ -72,6 +72,7 @@ class MLConformerGenerator:
         dtype=jnp.float32,
         compute_dtype: str = "bfloat16",
         use_pallas: str = "off",
+        node_bucket: int = 8,
     ):
         self.dimension = dimension
         self.context_norms = context_norms
@@ -79,6 +80,10 @@ class MLConformerGenerator:
         self.min_n_nodes = min_n_nodes
         self.max_n_nodes = max_n_nodes
         self.diffusion_steps = diffusion_steps
+        #: node-axis padding granularity: smaller buckets waste less N^2 edge
+        #: work per request but compile more sampler programs (one per
+        #: distinct padded size) — see PERF.md
+        self.node_bucket = node_bucket
 
         # bf16 feature path on the MXU (f32 geometry); the XLA dense edge
         # path beats the fused Pallas kernel at this model size on v5e
@@ -199,7 +204,7 @@ class MLConformerGenerator:
         # [min, max] as before, but the compiled sampler shape only changes
         # per bucket, bounding 100-step-program recompiles across requests
         # of nearby sizes (SURVEY.md §7 hard part 5).
-        n_pad = pad_to_bucket(max_n_nodes, 8)
+        n_pad = pad_to_bucket(max_n_nodes, self.node_bucket)
 
         node_mask, edge_mask, batch_context, n_nodes = prepare_edm_input(
             self._next_key(), n_samples, jnp.asarray(reference_context),

@@ -91,13 +91,14 @@ class ScreeningDriver:
         ref_context, _ = get_context_shape(coords)
         B = self._round_batch(n_samples)
         mx = min(ref.num_atoms + variance, gen.max_n_nodes)
-        # Bucket the node axis (multiple of 8): references of nearby sizes
+        # Bucket the node axis (gen.node_bucket): references of nearby sizes
         # share one compiled 100-step program instead of re-tracing per
-        # distinct ref size (~30 s/compile on TPU; <=4 buckets total).
+        # distinct ref size (~30 s/compile on TPU; smaller buckets waste
+        # less N^2 edge work per request — see PERF.md).
         node_mask, edge_mask, context, _ = prepare_edm_input(
             gen._next_key(), B, ref_context, gen.context_norms,
             max(ref.num_atoms - variance, gen.min_n_nodes), mx,
-            n_nodes_pad=pad_to_bucket(mx, 8))
+            n_nodes_pad=pad_to_bucket(mx, gen.node_bucket))
         dev = lambda a, s: jax.device_put(a, s)
         x, h = self._sample(gen.edm_params, gen._next_key(), gen.gamma,
                             dev(node_mask, self._shard_batched),
