@@ -32,13 +32,14 @@ def prepare_fragment(n_samples: int, frag_x: jnp.ndarray, frag_h: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pad + batch a fixed fragment into (z_known, fixed_mask) for inpainting.
 
-    frag_x: (n, 3) coords; frag_h: (n, F) one-hot atom types.
+    frag_x: (n, 3) coords; frag_h: (n, F) one-hot atom types. Dtype-
+    preserving (callers pass float32 in production).
     """
     n_atoms = frag_x.shape[0]
     check_fragment_size(n_atoms, min_n_nodes, max_n_nodes)
     pad = max_n_nodes - n_atoms
-    x = jnp.pad(frag_x.astype(jnp.float32), ((0, pad), (0, 0)))
-    h = jnp.pad(frag_h.astype(jnp.float32), ((0, pad), (0, 0)))
+    x = jnp.pad(frag_x, ((0, pad), (0, 0)))
+    h = jnp.pad(frag_h, ((0, pad), (0, 0)))
     z = jnp.concatenate([x, h], axis=-1)
     z_known = jnp.broadcast_to(z[None], (n_samples,) + z.shape)
     fixed_mask = (jnp.arange(max_n_nodes) < n_atoms).astype(jnp.float32)
@@ -99,10 +100,8 @@ def ifm_prepare_fragments_for_merge(
     """
     B = gen_x.shape[0]
     n = frag_x.shape[0]
-    ff_x = jnp.broadcast_to(frag_x[None].astype(jnp.float32),
-                            (B,) + frag_x.shape)
-    ff_h = jnp.broadcast_to(frag_h[None].astype(jnp.float32),
-                            (B,) + frag_h.shape)
+    ff_x = jnp.broadcast_to(frag_x[None], (B,) + frag_x.shape)
+    ff_h = jnp.broadcast_to(frag_h[None], (B,) + frag_h.shape)
     x = jnp.concatenate([ff_x, gen_x], axis=1)
     h = jnp.concatenate([ff_h, gen_h], axis=1)
     z_known = jnp.concatenate([x, h], axis=-1)

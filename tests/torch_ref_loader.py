@@ -43,6 +43,63 @@ def _load(name: str):
     return mod
 
 
+class _AnyAttr:
+    """Inert attribute sink standing in for RDKit objects at import time."""
+
+    def __getattr__(self, name):
+        return _AnyAttr()
+
+    def __call__(self, *args, **kwargs):
+        return _AnyAttr()
+
+
+def _stub_rdkit():
+    """Install an import-time-only rdkit stub (PEP 562 module __getattr__).
+
+    ``utils/mol_utils.py`` / ``utils/molgraph.py`` only *reference* RDKit
+    attributes at import (bond-type tables, annotations); the functions under
+    parity test here are pure torch and never touch them at call time.
+    """
+    if "rdkit" in sys.modules:
+        return
+    def module_getattr(name):
+        # dunder lookups (__file__, __path__, ...) must fail normally or
+        # inspect/import machinery walking sys.modules trips over the stub
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _AnyAttr()
+
+    rdkit = types.ModuleType("rdkit")
+    chem = types.ModuleType("rdkit.Chem")
+    chem.__getattr__ = module_getattr
+    rdkit.Chem = chem
+    sys.modules["rdkit"] = rdkit
+    sys.modules["rdkit.Chem"] = chem
+
+
+def _load_utils_mod(name: str):
+    """Load ``mlconfgen.utils.<name>`` with the real config constants."""
+    _ensure_pkg()
+    _stub_rdkit()
+    utils = sys.modules[f"{PKG}.utils"]
+    utils.__path__ = [f"{REF_DIR}/utils"]
+    for dep in ("config", "molgraph", name):
+        full = f"{PKG}.utils.{dep}"
+        if full in sys.modules:
+            continue
+        spec = importlib.util.spec_from_file_location(
+            full, f"{REF_DIR}/utils/{dep}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules[f"{PKG}.utils.{name}"]
+
+
+def load_mol_utils():
+    """The torch-side featurisation/IFM module (``utils/mol_utils.py``)."""
+    return _load_utils_mod("mol_utils")
+
+
 def load_egnn():
     return _load("egnn")
 
