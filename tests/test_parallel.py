@@ -97,3 +97,31 @@ def test_graft_entry_dryrun():
     shape = jax.eval_shape(fn, *args)
     assert shape.shape == (20, 42, 11)
     ge.dryrun_multichip(8)
+
+
+def test_edm_input_device_matches_eager():
+    """The fused single-program input prep (utils/masks._edm_input_device)
+    must equal the op-by-op construction it replaced."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ml_conformer_generator_tpu.config import CONTEXT_NORMS
+    from ml_conformer_generator_tpu.utils.masks import (normalize_context,
+                                                        prepare_edm_input,
+                                                        prepare_masks)
+
+    key = jax.random.PRNGKey(5)
+    nm, em, ctx, nn = prepare_edm_input(
+        key, 6, jnp.asarray([105.0, 473.0, 537.0]), CONTEXT_NORMS, 16, 20,
+        n_nodes_pad=24)
+    # independent eager reconstruction from the same key
+    n_nodes = jax.random.randint(key, (6,), 16, 21)
+    np.testing.assert_array_equal(np.asarray(nn), np.asarray(n_nodes))
+    nm2, em2 = prepare_masks(n_nodes, 24)
+    np.testing.assert_array_equal(np.asarray(nm), np.asarray(nm2))
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(em2))
+    normed = normalize_context(jnp.asarray([105.0, 473.0, 537.0]),
+                               CONTEXT_NORMS)
+    ctx2 = jnp.broadcast_to(normed.reshape(1, 1, 3), (6, 24, 3)) * nm2
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx2), rtol=1e-7)
