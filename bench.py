@@ -241,13 +241,19 @@ def main() -> None:
         shape_desc = (f"{args.requests} refs 15-39 ±{args.variance}, "
                       f"buckets of {args.bucket}")
 
-    # Warmup / compile: one call per distinct shape bucket.
+    # Warmup / compile: one call per distinct shape bucket. Progress goes to
+    # stderr (stdout stays one JSON line); compiles through this machine's
+    # remote-compile tunnel can take minutes per bucket.
     seen = set()
     for nm, em, ctx in requests:
         if nm.shape not in seen:
             seen.add(nm.shape)
+            t0 = time.perf_counter()
             jax.block_until_ready(gen(params, jax.random.PRNGKey(10),
                                       nm, em, ctx))
+            print(f"[bench] compiled bucket N={nm.shape[1]} "
+                  f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr,
+                  flush=True)
     jax.block_until_ready(adj_fwd(adj_params, elements, dist, adj))
 
     times = []
