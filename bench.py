@@ -154,7 +154,23 @@ def main() -> None:
                     help="override EGNNConfig.use_pallas")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one timed repeat")
+    ap.add_argument("--time-budget", type=float, default=870.0,
+                    help="seconds: skip the appended e2e phase if the main "
+                         "measurement already consumed most of this")
+    ap.add_argument("--cache-dir", default="/root/repo/.jax_cache",
+                    help="persistent compilation cache directory ('' to "
+                         "disable) — repeat runs skip the multi-minute "
+                         "remote compiles when the backend supports "
+                         "executable serialization")
     args = ap.parse_args()
+    t_main_start = time.perf_counter()
+
+    if args.cache_dir:
+        # Must be set before backend init. Harmless if the PJRT plugin
+        # cannot serialize executables (cache writes are then skipped).
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     if args.workload == "e2e":
         e2e = measure_e2e(args.steps, args.dtype, args.e2e_requests,
@@ -281,16 +297,24 @@ def main() -> None:
         "vs_baseline": round(samples_per_s / REFERENCE_RAW_SAMPLES_PER_S, 3),
     }
     if args.workload == "screen" and not args.no_e2e:
-        # Device-only AND end-to-end figures in one bench line (the judged
-        # artifact): the e2e dict carries valid mol/s, per-stage split and
-        # host/device overlap of the full public pipeline. Free the main
-        # loop's arrays first — the e2e phase builds its own generator.
-        import gc
-        del outs, params, adj_params, requests, gen, adj_fwd
-        gc.collect()
-        out["e2e"] = measure_e2e(args.steps, args.dtype, args.e2e_requests,
-                                 args.batch, args.variance,
-                                 bucket=args.bucket)
+        elapsed = time.perf_counter() - t_main_start
+        if elapsed > 0.6 * args.time_budget:
+            # Never lose the headline JSON line to a timeout: cold-cache
+            # compiles can eat most of the budget, so skip the extra phase.
+            out["e2e"] = {"skipped": f"time budget ({elapsed:.0f}s elapsed "
+                                     f"of {args.time_budget:.0f}s)"}
+        else:
+            # Device-only AND end-to-end figures in one bench line (the
+            # judged artifact): the e2e dict carries valid mol/s, per-stage
+            # split and host/device overlap of the full public pipeline.
+            # Free the main loop's arrays first — the e2e phase builds its
+            # own generator.
+            import gc
+            del outs, params, adj_params, requests, gen, adj_fwd
+            gc.collect()
+            out["e2e"] = measure_e2e(args.steps, args.dtype,
+                                     args.e2e_requests, args.batch,
+                                     args.variance, bucket=args.bucket)
     print(json.dumps(out))
 
 
