@@ -147,6 +147,11 @@ def main() -> None:
     ap.add_argument("--bucket", type=int, default=8,
                     help="screen workload: node-axis bucket size (smaller = "
                          "less N^2 padding waste, more compiled programs)")
+    ap.add_argument("--refine-bucket", type=int, default=1,
+                    help="screen workload: after the coarse-bucket figure "
+                         "is in hand, re-measure at this finer bucket if "
+                         "the time budget allows and report the better "
+                         "number (0 to disable)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="MXU compute precision for the denoiser MLPs")
@@ -240,29 +245,39 @@ def main() -> None:
         requests = [inp[:3]]
         shape_desc = f"N={args.nodes}"
     else:
+        shape_desc = (f"{args.requests} refs 15-39 ±{args.variance}, "
+                      f"buckets of {args.bucket}")
+
+    def build_screen_requests(bucket: int):
         # Reference evaluation protocol: requests around references of
         # 15-39 heavy atoms, sizes in [n_ref - v, n_ref + v], each request
         # padded to its own (bucketed) max size.
         host_rng = np.random.default_rng(0)
         n_refs = host_rng.integers(15, 40, size=args.requests)
-        requests = []
+        reqs = []
         for i, n_ref in enumerate(sorted(int(n) for n in n_refs)):
             mn = max(15, n_ref - args.variance)
             mx = min(39, n_ref + args.variance)
             inp = prepare_edm_input(
                 jax.random.PRNGKey(1000 + i), B, ref_ctx, CONTEXT_NORMS,
                 min_n_nodes=mn, max_n_nodes=mx,
-                n_nodes_pad=pad_to_bucket(mx, args.bucket))
-            requests.append(inp[:3])
-        shape_desc = (f"{args.requests} refs 15-39 ±{args.variance}, "
-                      f"buckets of {args.bucket}")
+                n_nodes_pad=pad_to_bucket(mx, bucket))
+            reqs.append(inp[:3])
+        return reqs
 
-    # Warmup / compile: one call per distinct shape bucket. Progress goes to
-    # stderr (stdout stays one JSON line); compiles through this machine's
-    # remote-compile tunnel can take minutes per bucket.
-    seen = set()
-    for nm, em, ctx in requests:
-        if nm.shape not in seen:
+    if args.workload == "screen":
+        requests = build_screen_requests(args.bucket)
+
+    def compile_all(reqs, deadline_s=None) -> bool:
+        """Warmup/compile one call per distinct shape. Progress goes to
+        stderr (stdout stays one JSON line); a cold compile through this
+        machine's remote-compile tunnel can take minutes per bucket (seconds
+        when the persistent cache hits). Returns False if `deadline_s`
+        (seconds since bench start) passed before all shapes compiled."""
+        seen = set()
+        for nm, em, ctx in reqs:
+            if nm.shape in seen:
+                continue
             seen.add(nm.shape)
             t0 = time.perf_counter()
             jax.block_until_ready(gen(params, jax.random.PRNGKey(10),
@@ -270,25 +285,31 @@ def main() -> None:
             print(f"[bench] compiled bucket N={nm.shape[1]} "
                   f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr,
                   flush=True)
+            if (deadline_s is not None
+                    and time.perf_counter() - t_main_start > deadline_s):
+                return False
+        return True
+
+    def measure(reqs, profile: bool = False) -> float:
+        times = []
+        for i in range(args.repeats):
+            if profile and i == 1:
+                jax.profiler.start_trace(args.profile)
+            t0 = time.perf_counter()
+            outs = []
+            for r, (nm, em, ctx) in enumerate(reqs):
+                outs.append(gen(params, jax.random.PRNGKey(100 + 31 * i + r),
+                                nm, em, ctx))
+                outs.append(adj_fwd(adj_params, elements, dist, adj))
+            jax.block_until_ready(outs)
+            times.append(time.perf_counter() - t0)
+            if profile and i == 1:
+                jax.profiler.stop_trace()
+        return B * len(reqs) / min(times)
+
+    compile_all(requests)
     jax.block_until_ready(adj_fwd(adj_params, elements, dist, adj))
-
-    times = []
-    for i in range(args.repeats):
-        if args.profile and i == 1:
-            jax.profiler.start_trace(args.profile)
-        t0 = time.perf_counter()
-        outs = []
-        for r, (nm, em, ctx) in enumerate(requests):
-            outs.append(gen(params, jax.random.PRNGKey(100 + 31 * i + r),
-                            nm, em, ctx))
-            outs.append(adj_fwd(adj_params, elements, dist, adj))
-        jax.block_until_ready(outs)
-        times.append(time.perf_counter() - t0)
-        if args.profile and i == 1:
-            jax.profiler.stop_trace()
-
-    best = min(times)
-    samples_per_s = B * len(requests) / best
+    samples_per_s = measure(requests, profile=bool(args.profile))
     out = {
         "metric": "edm_samples_per_s",
         "value": round(samples_per_s, 3),
@@ -296,6 +317,35 @@ def main() -> None:
                 f"{dev.platform})",
         "vs_baseline": round(samples_per_s / REFERENCE_RAW_SAMPLES_PER_S, 3),
     }
+
+    # Padding refinement: the bucketed node axis wastes O(N^2) edge work on
+    # padded rows (PERF.md). Exact-size programs are ~17% faster at the
+    # screen protocol but need one compile per distinct request size, so
+    # only attempt this when the coarse-bucket figure is already in hand and
+    # the compile budget clearly allows it (cached compiles take seconds;
+    # cold ones minutes — the deadline aborts the attempt, keeping the
+    # coarse figure).
+    if (args.workload == "screen" and args.refine_bucket
+            and args.refine_bucket < args.bucket
+            and time.perf_counter() - t_main_start < 0.40 * args.time_budget):
+        fine = build_screen_requests(args.refine_bucket)
+        if compile_all(fine, deadline_s=0.60 * args.time_budget):
+            fine_per_s = measure(fine)
+            out["padding"] = {
+                f"bucket_{args.bucket}": round(samples_per_s, 3),
+                f"bucket_{args.refine_bucket}": round(fine_per_s, 3),
+            }
+            if fine_per_s > samples_per_s:
+                out["value"] = round(fine_per_s, 3)
+                out["unit"] = (f"samples/s (batch {B}, {args.steps} steps, "
+                               f"{args.requests} refs 15-39 "
+                               f"±{args.variance}, exact sizes "
+                               f"(bucket {args.refine_bucket}), "
+                               f"{dev.platform})")
+                out["vs_baseline"] = round(
+                    out["value"] / REFERENCE_RAW_SAMPLES_PER_S, 3)
+        else:
+            out["padding"] = {"refine": "aborted (compile deadline)"}
     if args.workload == "screen" and not args.no_e2e:
         elapsed = time.perf_counter() - t_main_start
         if elapsed > 0.6 * args.time_budget:
@@ -310,7 +360,7 @@ def main() -> None:
             # Free the main loop's arrays first — the e2e phase builds its
             # own generator.
             import gc
-            del outs, params, adj_params, requests, gen, adj_fwd
+            del params, adj_params, requests, gen, adj_fwd
             gc.collect()
             out["e2e"] = measure_e2e(args.steps, args.dtype,
                                      args.e2e_requests, args.batch,
