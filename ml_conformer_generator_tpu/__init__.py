@@ -20,7 +20,7 @@ __all__ = [
     "DiffusionConfig", "EGNNConfig", "GeneratorConfig", "MLConformerGenerator",
     "MLConformerGeneratorONNX",
     "evaluate_samples", "run_evaluation", "ffd", "fcd",
-    "principal_inertia_components", "__version__",
+    "principal_inertia_components", "enable_compile_cache", "__version__",
 ]
 
 
@@ -48,4 +48,7 @@ def __getattr__(name):
     if name == "principal_inertia_components":
         from .chem.stl import principal_inertia_components
         return principal_inertia_components
+    if name == "enable_compile_cache":
+        from .utils.cache import enable_compile_cache
+        return enable_compile_cache
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

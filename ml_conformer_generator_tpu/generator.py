@@ -73,7 +73,14 @@ class MLConformerGenerator:
         compute_dtype: str = "bfloat16",
         use_pallas: str = "off",
         node_bucket: int = 8,
+        compile_cache_dir: Optional[str] = None,
     ):
+        if compile_cache_dir:
+            # Persistent executable cache: makes fine node_bucket settings
+            # (more compiled programs, less N^2 padding waste) economical
+            # across processes — see utils/cache.py and PERF.md.
+            from .utils.cache import enable_compile_cache
+            enable_compile_cache(compile_cache_dir)
         self.dimension = dimension
         self.context_norms = context_norms
         self.atom_decoder = atom_decoder

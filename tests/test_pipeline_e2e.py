@@ -93,3 +93,27 @@ def test_public_api_aliases():
         is MLConformerGenerator.generate_conformers
     assert mcg.MLConformerGenerator is MLConformerGenerator
     assert issubclass(mcg.MLConformerGeneratorONNX, MLConformerGenerator)
+
+
+def test_enable_compile_cache(tmp_path):
+    """Persistent-cache helper writes serialized executables (utils/cache.py);
+    also reachable as a package export and a generator constructor kwarg."""
+    import jax
+    import jax.numpy as jnp
+
+    import ml_conformer_generator_tpu as mcg
+
+    cache = tmp_path / "xla_cache"
+    mcg.enable_compile_cache(str(cache), min_compile_secs=0)
+    try:
+        x = jnp.arange(64.0).reshape(8, 8)
+        jax.block_until_ready(
+            jax.jit(lambda a: a @ a.T + jnp.e)(x))  # unique enough to compile
+        assert cache.is_dir()
+        assert any(cache.iterdir()), "no cache entry written on CPU backend"
+        # the generator constructor kwarg routes to the same helper
+        MLConformerGenerator(diffusion_steps=2,
+                             compile_cache_dir=str(cache))
+    finally:
+        # don't leave a tmp cache dir configured for later tests
+        jax.config.update("jax_compilation_cache_dir", None)
