@@ -119,23 +119,28 @@ class ScreeningDriver:
         with timer.stage("device_wait"):
             jax.block_until_ready((x, h))
         # host featurisation/standardisation (plus the small bond-predictor
-        # device program it synchronises on)
+        # device program it synchronises on); sub-stages recorded under
+        # host_chem/* for overlap diagnostics
         with timer.stage("host_chem"):
             # keep the padded batch through the sharded bond predictor (its
             # batch axis must stay divisible by the data axis), trim after
-            mols = samples_to_molecules(np.asarray(x), np.asarray(h),
-                                        np.asarray(node_mask),
-                                        gen.atom_decoder)
-            elements, dist, adj, canon = prepare_adj_mat_seer_input(
-                mols, gen.dimension)
+            with timer.stage("host_chem/featurize"):
+                mols = samples_to_molecules(np.asarray(x), np.asarray(h),
+                                            np.asarray(node_mask),
+                                            gen.atom_decoder)
+                elements, dist, adj, canon = prepare_adj_mat_seer_input(
+                    mols, gen.dimension)
             # (B, D, D) int8 bond types — argmax-decoded on device (_adj_fn)
-            bond_types = np.asarray(self._adj(
-                gen.adj_params, jnp.asarray(elements), jnp.asarray(dist),
-                jnp.asarray(adj)))
-            bonded = [redefine_bonds(canon[i], bond_types[i])
-                      for i in range(min(n_samples, len(canon)))]
-            return [m for m in standardize_batch(bonded, True)
-                    if m is not None]
+            with timer.stage("host_chem/adj_device"):
+                bond_types = np.asarray(self._adj(
+                    gen.adj_params, jnp.asarray(elements), jnp.asarray(dist),
+                    jnp.asarray(adj)))
+            with timer.stage("host_chem/bonds"):
+                bonded = [redefine_bonds(canon[i], bond_types[i])
+                          for i in range(min(n_samples, len(canon)))]
+            with timer.stage("host_chem/standardize"):
+                return [m for m in standardize_batch(bonded, True)
+                        if m is not None]
 
     def screen(self, references: Sequence[Molecule], n_samples: int = 100,
                variance: int = 2, score: bool = True,
