@@ -67,3 +67,20 @@ def test_train_loop_runs_and_checkpoints(tmp_path, rng):
     assert np.isfinite(out["history"][-1]["loss"])
     import os
     assert os.path.exists(ckpt)
+
+
+def test_train_loop_learns(rng):
+    """The EDM loss must actually DECREASE under training — catches detached
+    gradients, wrong noise targets, and optimizer wiring bugs that a
+    finite-loss check (above) would miss. On this tiny config the loss
+    reliably halves within 200 steps; assert a conservative 30% drop."""
+    ds = MoleculeDataset(_mols(rng, n_mols=64))
+    out = train(ds, egnn_cfg=EGNNConfig(hidden_nf=16, n_blocks=1),
+                diff_cfg=DiffusionConfig(timesteps=10), batch_size=8,
+                epochs=25, lr=1e-3, mesh=make_mesh((8, 1)),
+                log_every=5, log_fn=lambda s: None, seed=0)
+    hist = [h["loss"] for h in out["history"]]
+    assert len(hist) >= 20
+    early, late = np.mean(hist[:5]), np.mean(hist[-5:])
+    assert np.isfinite(late)
+    assert late < 0.7 * early, f"no learning: {early:.3f} -> {late:.3f}"
