@@ -15,7 +15,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from ml_conformer_generator_tpu.chem import read_sdf
+from ml_conformer_generator_tpu.chem import read_sdf, read_smiles_file
 from ml_conformer_generator_tpu.eval.fcd import (chemnet_embeddings,
                                                  init_chemnet_params)
 from ml_conformer_generator_tpu.eval.frechet import (fingerprint_matrix,
@@ -24,7 +24,11 @@ from ml_conformer_generator_tpu.eval.frechet import (fingerprint_matrix,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("sets", nargs="+", help="SDF files, one per molecule set")
+    ap.add_argument("sets", nargs="+",
+                    help="molecule sets: .sdf files or SMILES corpora "
+                         "(.smi/.txt, one SMILES per line — the format of "
+                         "the reference's ChEMBL/PubChem/ZINC comparison "
+                         "sets, research_scripts/ffd_fcd/*)")
     ap.add_argument("--metric", choices=["ffd", "fcd", "both"],
                     default="both")
     ap.add_argument("--out", default="frechet_comparison.csv")
@@ -34,8 +38,11 @@ def main():
 
     names, mols = [], []
     for path in args.sets:
-        with open(path) as f:
-            ms = read_sdf(f.read())
+        if path.endswith((".smi", ".smiles", ".txt", ".csv")):
+            ms = read_smiles_file(path, limit=args.limit or None)
+        else:
+            with open(path) as f:
+                ms = read_sdf(f.read())
         if args.limit:
             ms = ms[: args.limit]
         names.append(os.path.splitext(os.path.basename(path))[0])

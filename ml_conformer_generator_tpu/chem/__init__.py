@@ -9,12 +9,13 @@ from .canonical import canonical_ranks, canonicalise, smiles_output_order
 from .featurize import (fragment_to_xh, prepare_adj_mat_seer_input,
                         samples_to_molecules)
 from .io import (from_mol_block, from_pdb_block, from_xyz_block,
-                 read_mol_file, read_sdf,
+                 read_mol_file, read_sdf, read_smiles_file,
                  to_mol_block, to_xyz_block, write_sdf)
 from .mol import Molecule
 from .molgraph import MolGraph, vector_graph_sort
 from .perception import determine_connectivity, find_rings
 from .sanitize import SanitizeError, implicit_hydrogens, kekulize, sanitize
+from .smiles import SmilesError, from_smiles, to_smiles
 from .standardize import standardize_batch, standardize_mol
 
 __all__ = [
@@ -24,7 +25,8 @@ __all__ = [
     "MolGraph", "vector_graph_sort",
     "fragment_to_xh", "from_mol_block", "from_pdb_block", "from_xyz_block",
     "implicit_hydrogens", "kekulize", "prepare_adj_mat_seer_input",
-    "read_mol_file", "read_sdf", "redefine_bonds", "samples_to_molecules",
-    "sanitize", "standardize_batch", "standardize_mol", "to_mol_block",
-    "to_xyz_block", "write_sdf",
+    "read_mol_file", "read_sdf", "read_smiles_file", "redefine_bonds",
+    "samples_to_molecules", "sanitize", "standardize_batch",
+    "standardize_mol", "to_mol_block", "to_xyz_block", "write_sdf",
+    "SmilesError", "from_smiles", "to_smiles",
 ]

@@ -214,3 +214,37 @@ def read_mol_file(path: str) -> Molecule:
     if path.endswith(".pdb"):
         return from_pdb_block(text)
     return from_mol_block(text)
+
+
+# ---------------------------------------------------------------------------
+# SMILES files (FFD/FCD corpora: one SMILES per line, optional name column)
+# ---------------------------------------------------------------------------
+
+
+def read_smiles_file(path: str, limit: Optional[int] = None,
+                     skip_bad: bool = True) -> List[Molecule]:
+    """Read a SMILES corpus (the input format of the reference's FFD/FCD
+    comparison sets, ``research_scripts/ffd_fcd/*``: ChEMBL/PubChem/ZINC
+    exports — one molecule per line, whitespace-separated optional name,
+    ``#`` comments). Returns heavy-atom molecules with zero coordinates.
+    """
+    from .smiles import SmilesError, from_smiles
+
+    mols: List[Molecule] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 1)
+            smi = parts[0]
+            name = parts[1].strip() if len(parts) > 1 else ""
+            try:
+                mols.append(from_smiles(smi, name=name).remove_hs())
+            except SmilesError:
+                if not skip_bad:
+                    raise
+                continue
+            if limit is not None and len(mols) >= limit:
+                break
+    return mols

@@ -164,6 +164,11 @@ class Molecule:
 
     # -- misc -------------------------------------------------------------------
 
+    def to_smiles(self, canonical: bool = True) -> str:
+        """Canonical Kekulé SMILES of this molecule (see :mod:`.smiles`)."""
+        from .smiles import to_smiles
+        return to_smiles(self, canonical=canonical)
+
     def formula(self) -> str:
         counts: Dict[str, int] = {}
         for z in self.atomic_nums:

@@ -1,0 +1,113 @@
+"""First-party SMILES writer/parser tests (chem/smiles.py).
+
+The reference uses RDKit canonical SMILES as the uniqueness key of its
+evaluation protocol (``research_scripts/evaluation.py:12-42``) and SMILES
+corpora as FFD/FCD comparison sets (``research_scripts/ffd_fcd/*``); parity
+here is at the identity level (permutation-invariant canonical strings,
+lossless graph round trips), not RDKit's exact character sequences.
+"""
+
+import glob
+
+import numpy as np
+import pytest
+
+from ml_conformer_generator_tpu.chem import (SmilesError, determine_connectivity,
+                                             from_smiles, kekulize,
+                                             read_mol_file, to_smiles)
+from ml_conformer_generator_tpu.chem.io import read_smiles_file
+from ml_conformer_generator_tpu.eval.frechet import identity_key
+
+CASES = [
+    "CCO", "CC(C)C", "C1CCCCC1", "c1ccccc1", "c1ccncc1", "c1cc[nH]c1",
+    "C[N+](C)(C)C", "CC(=O)[O-]", "N#Cc1ccccc1", "C1=CC2=CC=CC2=C1",
+    "c1ccc(-c2ccccc2)cc1", "c1ccc(c2ccccc2)cc1", "CC(=O)Nc1ccc(O)cc1",
+    "O=C(O)c1ccccc1OC(C)=O", "C1CC2CCC1CC2", "[O-]S(=O)(=O)[O-]",
+    "CCOC(=O)C", "FC(F)(F)c1ccccc1", "Clc1ccccc1Br", "CN1CCC[C@H]1c1cccnc1",
+]
+
+
+def _key(mol):
+    return identity_key(kekulize(mol))
+
+
+@pytest.mark.parametrize("smi", CASES)
+def test_roundtrip_preserves_identity(smi):
+    m = from_smiles(smi).remove_hs()
+    m2 = from_smiles(to_smiles(m)).remove_hs()
+    assert _key(m) == _key(m2)
+
+
+@pytest.mark.parametrize("smi", CASES)
+def test_canonical_is_permutation_invariant(smi):
+    m = from_smiles(smi).remove_hs()
+    ref = to_smiles(m)
+    rng = np.random.default_rng(hash(smi) % 2**32)
+    for _ in range(8):
+        perm = list(rng.permutation(m.num_atoms))
+        assert to_smiles(m.renumber(perm)) == ref
+
+
+def test_parser_details():
+    # charges, brackets, explicit hydrogens
+    m = from_smiles("C[N+](C)(C)C")
+    assert int(m.charges.sum()) == 1
+    assert sorted(m.atomic_nums.tolist()) == [6, 6, 6, 6, 7]
+    # [nH] materialises the hydrogen
+    m = from_smiles("c1cc[nH]c1")
+    assert (m.atomic_nums == 1).sum() == 1
+    assert m.remove_hs().num_atoms == 5
+    # %nn ring closure
+    a = from_smiles("C%12CCCCC%12")
+    b = from_smiles("C1CCCCC1")
+    assert _key(a) == _key(b)
+    # dot-separated fragments
+    m = from_smiles("[O-]C(=O)C.[O-]C(=O)C")
+    assert len(m.connected_components()) == 2
+    # aromatic bond outside a ring demotes to single (biphenyl, no dash)
+    m = from_smiles("c1ccc(c2ccccc2)cc1")
+    orders = sorted(o for _, _, o in m.bonds)
+    assert orders.count(4) == 12 and orders.count(1) == 1
+
+
+def test_parser_rejects_malformed():
+    for bad in ["C(", "C)", "C1CC", "[Xx]", "C[", "C%1C", "C=1CC#1"]:
+        with pytest.raises(SmilesError):
+            from_smiles(bad)
+
+
+def test_aromatic_kekulized_forms_share_identity():
+    assert _key(from_smiles("c1ccccc1")) == _key(from_smiles("C1=CC=CC=C1"))
+    assert _key(from_smiles("c1ccncc1")) == _key(from_smiles("C1=CC=NC=C1"))
+
+
+def test_demo_molecules_roundtrip():
+    """Real 3D reference conformers: perceive bonds, write, parse, compare."""
+    for path in sorted(glob.glob("/root/reference/assets/demo_files/*.mol")):
+        m = read_mol_file(path).remove_hs()
+        if m.num_bonds == 0:
+            m = determine_connectivity(m)
+        smi = to_smiles(m)
+        m2 = from_smiles(smi).remove_hs()
+        assert _key(m) == _key(m2), path
+        assert m2.num_atoms == m.num_atoms
+
+
+def test_read_smiles_file(tmp_path):
+    p = tmp_path / "corpus.smi"
+    p.write_text("# comment line\n"
+                 "CCO ethanol\n"
+                 "c1ccccc1\tbenzene\n"
+                 "not_a_smiles!!\n"
+                 "CC(=O)O acetic acid\n")
+    mols = read_smiles_file(str(p))
+    assert [m.name for m in mols] == ["ethanol", "benzene", "acetic acid"]
+    assert mols[1].num_atoms == 6
+    with pytest.raises(SmilesError):
+        read_smiles_file(str(p), skip_bad=False)
+    assert len(read_smiles_file(str(p), limit=2)) == 2
+
+
+def test_molecule_method():
+    m = from_smiles("CCO")
+    assert m.to_smiles() == "CCO"
