@@ -93,6 +93,9 @@ class ConformerServer:
         ref_block, scored = evaluate_samples(reference, samples)
         t_eval = time.perf_counter() - t0
         scored.sort(key=lambda s: s["shape_tanimoto"], reverse=True)
+        for s in scored:
+            # canonical SMILES of each hit (first-party writer, chem/smiles.py)
+            s["smiles"] = from_mol_block(s["mol_block"]).to_smiles()
 
         sdf = write_sdf(
             [from_mol_block(s["mol_block"]) for s in scored],

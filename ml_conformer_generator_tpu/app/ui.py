@@ -154,7 +154,8 @@ async function generate() {
     data.samples.forEach((s, i) => {
       const d = document.createElement('div');
       d.className = 'sample';
-      d.innerHTML = `#${i+1} <div class="score">shape ${(100*s.shape_tanimoto).toFixed(1)}% · chem ${(100*s.chemical_tanimoto).toFixed(1)}%</div>`;
+      d.innerHTML = `#${i+1} <div class="score">shape ${(100*s.shape_tanimoto).toFixed(1)}% · chem ${(100*s.chemical_tanimoto).toFixed(1)}%</div>`
+        + (s.smiles ? `<div class="score" style="word-break:break-all">${s.smiles}</div>` : '');
       d.onclick = () => { document.querySelectorAll('.sample').forEach(x=>x.classList.remove('sel'));
                           d.classList.add('sel'); show(s.mol_block); };
       list.appendChild(d);
