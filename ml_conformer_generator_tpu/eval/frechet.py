@@ -99,12 +99,19 @@ def ffd(mols1: Sequence[Molecule], mols2: Sequence[Molecule],
 def identity_key(mol: Molecule) -> str:
     """Canonical constitutional identity of a molecule (uniqueness hashing).
 
-    The TPU framework's stand-in for the reference's canonical-SMILES/InChI
-    round trip (``research_scripts/evaluation.py:12-42``): atoms are renumbered
-    by the package's canonical ranks and the (element, charge) sequence plus
-    the sorted canonical bond list (with bond orders) are serialised. Two
-    molecules share a key iff they share their canonical labelled graph.
+    Matches the reference's canonical-SMILES uniqueness protocol
+    (``research_scripts/evaluation.py:12-42``): the key is the first-party
+    canonical Kekulé SMILES (``chem/smiles.py``), so aromatic and kekulised
+    representations of the same molecule share a key. For graphs the
+    kekuliser rejects (over-valent aromatic systems), falls back to a
+    canonical labelled-graph serialisation over the raw bond orders.
     """
+    from ..chem.sanitize import SanitizeError
+    from ..chem.smiles import to_smiles
+    try:
+        return to_smiles(mol)
+    except SanitizeError:
+        pass
     ranks = canonical_ranks(mol)
     order = np.argsort(ranks, kind="stable")
     pos = np.empty_like(order)
