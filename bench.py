@@ -111,6 +111,10 @@ def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
 
     raw_per_s = rep.n_requested / wall
     return {
+        # demo-pool reference sizes (heavy atoms): smaller on average than
+        # the 15-39 screen protocol mix, so e2e raw mol/s runs above the
+        # screen samples/s figure — compare like with like
+        "ref_sizes": sorted(r.num_atoms for r in refs),
         "valid_mol_per_s": round(rep.n_valid / wall, 3),
         "validity": round(rep.n_valid / rep.n_requested, 4),
         "raw_mol_per_s": round(raw_per_s, 3),
