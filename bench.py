@@ -38,6 +38,7 @@ import glob
 import json
 import sys
 import time
+from typing import Optional
 
 sys.path.insert(0, "/root/repo")
 
@@ -47,7 +48,8 @@ REFERENCE_VALIDITY = 0.48                  # README.md:115
 
 
 def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
-                variance: int, bucket: int = 8) -> dict:
+                variance: int, bucket: int = 8,
+                deadline: Optional[float] = None) -> dict:
     """End-to-end valid-mol/s through the public pipeline (north-star metric).
 
     Drives ``ScreeningDriver.screen`` (the full ``generate_conformers``
@@ -82,13 +84,19 @@ def measure_e2e(steps: int, dtype: str, n_requests: int, batch: int,
         return pad_to_bucket(min(r.num_atoms + variance, gen.max_n_nodes),
                              gen.node_bucket)
 
-    # Warmup/compile: one request per distinct node-count bucket.
+    # Warmup/compile: one request per distinct node-count bucket, abandoning
+    # the phase (keeping the already-printed headline intact) if cold
+    # compiles of the per-size programs threaten the wall-clock budget.
     seen, warm = set(), []
     for r in pool:
         if bucket_of(r) not in seen:
             seen.add(bucket_of(r))
             warm.append(r)
-    driver.screen(warm, n_samples=batch, variance=variance, score=False)
+    for r in warm:
+        driver.screen([r], n_samples=batch, variance=variance, score=False)
+        if deadline is not None and time.perf_counter() > deadline:
+            return {"skipped": "compile deadline during e2e warmup "
+                               f"(bucket {bucket})"}
 
     # Serial device time per distinct bucket (for overlap accounting —
     # different buckets run differently-sized programs).
@@ -175,11 +183,10 @@ def main() -> None:
     t_main_start = time.perf_counter()
 
     if args.cache_dir:
-        # Must be set before backend init. Harmless if the PJRT plugin
-        # cannot serialize executables (cache writes are then skipped).
-        import jax as _jax
-        _jax.config.update("jax_compilation_cache_dir", args.cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # Harmless if the PJRT plugin cannot serialize executables (cache
+        # writes are then skipped).
+        from ml_conformer_generator_tpu.utils.cache import enable_compile_cache
+        enable_compile_cache(args.cache_dir)
 
     if args.workload == "e2e":
         e2e = measure_e2e(args.steps, args.dtype, args.e2e_requests,
@@ -372,9 +379,10 @@ def main() -> None:
             if out.get("padding", {}).get(
                     f"bucket_{args.refine_bucket}", 0) >= samples_per_s:
                 e2e_bucket = args.refine_bucket
-            out["e2e"] = measure_e2e(args.steps, args.dtype,
-                                     args.e2e_requests, args.batch,
-                                     args.variance, bucket=e2e_bucket)
+            out["e2e"] = measure_e2e(
+                args.steps, args.dtype, args.e2e_requests, args.batch,
+                args.variance, bucket=e2e_bucket,
+                deadline=t_main_start + 0.9 * args.time_budget)
     print(json.dumps(out))
 
 

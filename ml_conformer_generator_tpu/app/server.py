@@ -93,12 +93,17 @@ class ConformerServer:
         ref_block, scored = evaluate_samples(reference, samples)
         t_eval = time.perf_counter() - t0
         scored.sort(key=lambda s: s["shape_tanimoto"], reverse=True)
-        for s in scored:
-            # canonical SMILES of each hit (first-party writer, chem/smiles.py)
-            s["smiles"] = from_mol_block(s["mol_block"]).to_smiles()
+        hits = [from_mol_block(s["mol_block"]) for s in scored]
+        for s, mol in zip(scored, hits):
+            # canonical SMILES of each hit (first-party writer,
+            # chem/smiles.py); never fail the request over one bad graph
+            try:
+                s["smiles"] = mol.to_smiles()
+            except Exception:
+                s["smiles"] = ""
 
         sdf = write_sdf(
-            [from_mol_block(s["mol_block"]) for s in scored],
+            hits,
             props=[{"shape_tanimoto": f"{s['shape_tanimoto']:.4f}",
                     "chemical_tanimoto": f"{s['chemical_tanimoto']:.4f}"}
                    for s in scored]) if scored else ""

@@ -14,7 +14,8 @@ from .io import (from_mol_block, from_pdb_block, from_xyz_block,
 from .mol import Molecule
 from .molgraph import MolGraph, vector_graph_sort
 from .perception import determine_connectivity, find_rings
-from .sanitize import SanitizeError, implicit_hydrogens, kekulize, sanitize
+from .sanitize import (SanitizeError, aromatize, implicit_hydrogens,
+                       kekulize, sanitize)
 from .smiles import SmilesError, from_smiles, to_smiles
 from .standardize import standardize_batch, standardize_mol
 
@@ -26,7 +27,7 @@ __all__ = [
     "fragment_to_xh", "from_mol_block", "from_pdb_block", "from_xyz_block",
     "implicit_hydrogens", "kekulize", "prepare_adj_mat_seer_input",
     "read_mol_file", "read_sdf", "read_smiles_file", "redefine_bonds",
-    "samples_to_molecules", "sanitize", "standardize_batch",
+    "samples_to_molecules", "sanitize", "aromatize", "standardize_batch",
     "standardize_mol", "to_mol_block", "to_xyz_block", "write_sdf",
     "SmilesError", "from_smiles", "to_smiles",
 ]

@@ -134,12 +134,17 @@ def smiles_output_order(mol: Molecule, ranks: np.ndarray = None) -> List[int]:
     visited = [False] * n
     order: List[int] = []
 
-    def dfs(a: int) -> None:
-        visited[a] = True
-        order.append(a)
-        for b in sorted(adj[a], key=lambda b: (int(ranks[b]), b)):
-            if not visited[b]:
-                dfs(b)
+    def dfs(root: int) -> None:
+        # iterative (long-chain corpus molecules exceed the recursion limit)
+        stack = [root]
+        while stack:
+            a = stack.pop()
+            if visited[a]:
+                continue
+            visited[a] = True
+            order.append(a)
+            stack.extend(sorted(adj[a], key=lambda b: (int(ranks[b]), b),
+                                reverse=True))
 
     for root in sorted(range(n), key=lambda a: (int(ranks[a]), a)):
         if not visited[root]:

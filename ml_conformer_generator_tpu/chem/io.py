@@ -228,6 +228,7 @@ def read_smiles_file(path: str, limit: Optional[int] = None,
     exports — one molecule per line, whitespace-separated optional name,
     ``#`` comments). Returns heavy-atom molecules with zero coordinates.
     """
+    from .sanitize import SanitizeError, kekulize
     from .smiles import SmilesError, from_smiles
 
     mols: List[Molecule] = []
@@ -237,14 +238,21 @@ def read_smiles_file(path: str, limit: Optional[int] = None,
             if not line or line.startswith("#"):
                 continue
             parts = line.split(None, 1)
-            smi = parts[0]
+            if "," in parts[0]:          # comma-separated export (smiles,name)
+                parts = line.split(",", 1)
+            smi = parts[0].strip()
             name = parts[1].strip() if len(parts) > 1 else ""
             try:
-                mols.append(from_smiles(smi, name=name).remove_hs())
-            except SmilesError:
+                m = from_smiles(smi, name=name)
+                # Kekulise so corpus molecules carry the same bond-order
+                # representation as the generated/SDF pipeline (Morgan
+                # invariants include bond orders, eval/fingerprints.py).
+                m = kekulize(m).remove_hs()
+            except (SmilesError, SanitizeError):
                 if not skip_bad:
                     raise
                 continue
+            mols.append(m)
             if limit is not None and len(mols) >= limit:
                 break
     return mols

@@ -14,6 +14,11 @@ from typing import Dict, Tuple
 SYMBOLS: Dict[int, str] = {
     1: "H", 5: "B", 6: "C", 7: "N", 8: "O", 9: "F", 14: "Si", 15: "P",
     16: "S", 17: "Cl", 33: "As", 34: "Se", 35: "Br", 53: "I",
+    # Counterions / metals appearing in SMILES corpora (salt forms): carried
+    # through I/O and identity keys; the model featurisation layer
+    # (ELEMENTS_TO_CLASS) still filters to the generator's element set.
+    3: "Li", 11: "Na", 12: "Mg", 13: "Al", 19: "K", 20: "Ca", 25: "Mn",
+    26: "Fe", 29: "Cu", 30: "Zn", 47: "Ag", 56: "Ba",
 }
 ATOMIC_NUMS: Dict[str, int] = {v: k for k, v in SYMBOLS.items()}
 

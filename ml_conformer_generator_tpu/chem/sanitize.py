@@ -441,3 +441,64 @@ def sanitize(mol: Molecule) -> Molecule:
     m = normalize_charges(m)
     implicit_hydrogens(m)  # raises on invalid valence
     return m
+
+
+def aromatize(mol: Molecule, max_ring: int = 7) -> Molecule:
+    """Perceive aromatic rings and mark their bonds order 4 (kekulize inverse).
+
+    Hueckel-style accounting per candidate ring (sizes 5..``max_ring``, from
+    :func:`~.perception.find_rings`): each ring atom contributes 1 pi electron
+    if it has a double/triple/aromatic bond to another ring-member atom (endo
+    or fused), 0 if its only multiple bond is exocyclic to a non-ring atom
+    (quinone carbonyls — sp2 but donating nothing), 2 if it has no multiple
+    bond but can donate a lone pair (pyrrole N / furan O / thiophene S,
+    ``periodic.PI_ELECTRONS_LONE_PAIR``); an atom with no multiple bond and
+    no lone pair (sp3) disqualifies the ring. Rings totalling 4n+2 electrons
+    become aromatic. Idempotent; input may be Kekule, aromatic, or mixed —
+    any Kekule assignment of the same aromatic system maps to the same
+    output, which is what makes the canonical SMILES representation-invariant
+    (``chem/smiles.py``).
+    """
+    from .perception import find_rings
+
+    if not mol.bonds:
+        return mol.copy()
+    order = {}
+    for i, j, o in mol.bonds:
+        order[(i, j)] = order[(j, i)] = o
+    rings = [r for r in find_rings(mol, max_size=max_ring) if len(r) >= 5]
+    ring_atoms = {a for r in rings for a in r}
+    multi = {a: [] for a in range(mol.num_atoms)}
+    for i, j, o in mol.bonds:
+        if o in (2, 3, 4):
+            multi[i].append(j)
+            multi[j].append(i)
+
+    aromatic_bonds = set()
+    for ring in rings:
+        rset = set(ring)
+        electrons = 0
+        ok = True
+        for a in ring:
+            partners = multi[a]
+            if any(p in ring_atoms for p in partners):
+                electrons += 1
+            elif partners:
+                continue              # exocyclic-only multiple bond: sp2, 0 e
+            elif int(mol.atomic_nums[a]) in periodic.PI_ELECTRONS_LONE_PAIR \
+                    or int(mol.charges[a]) < 0:
+                electrons += 2
+            else:
+                ok = False            # sp3 centre: ring cannot be aromatic
+                break
+        if ok and electrons % 4 == 2:
+            k = len(ring)
+            for t in range(k):
+                a, b = ring[t], ring[(t + 1) % k]
+                if (a, b) in order:
+                    aromatic_bonds.add((min(a, b), max(a, b)))
+
+    out = mol.copy()
+    out.bonds = [(i, j, 4 if (min(i, j), max(i, j)) in aromatic_bonds else o)
+                 for i, j, o in mol.bonds]
+    return out

@@ -106,7 +106,13 @@ def to_smiles(mol: Molecule, canonical: bool = True) -> str:
         return ""
     m = mol
     if canonical:
-        m = mol.renumber(smiles_output_order(mol, canonical_ranks(mol)))
+        # Normalise the bond-order representation first: any Kekule
+        # assignment of an aromatic system maps to the same aromatic graph,
+        # so the canonical ranks (and hence the string) cannot depend on
+        # which assignment the input happened to carry.
+        from .sanitize import aromatize
+        m = aromatize(m)
+        m = m.renumber(smiles_output_order(m, canonical_ranks(m)))
         # Normalise the bond list (orient i<j, sort): kekulisation and DFS
         # below must depend only on the canonical labelled graph, not on the
         # order bonds happened to be stored in.
@@ -168,10 +174,17 @@ def to_smiles(mol: Molecule, canonical: bool = True) -> str:
                 stack.pop()
 
     def emit(root: int) -> str:
+        """Iterative tree walk (no recursion: corpus molecules can be long
+        chains), emitting atom tokens, ring-closure digits, and branch
+        parentheses around every non-final tree child."""
         out: List[str] = []
         opened: set = set()
-
-        def walk(a: int) -> None:
+        stack: List[Tuple[str, int]] = [("atom", root)]
+        while stack:
+            op, a = stack.pop()
+            if op == "text":
+                out.append(a)  # type: ignore[arg-type]
+                continue
             out.append(_atom_token(int(m.atomic_nums[a]),
                                    int(m.charges[a]), sigma[a]))
             for b, d in sorted(ring_at[a], key=lambda t: t[1]):
@@ -183,17 +196,17 @@ def to_smiles(mol: Molecule, canonical: bool = True) -> str:
                 else:
                     out.append(digit)
                     free_digits.append(d)
-            for idx, b in enumerate(children[a]):
+            kids = children[a]
+            for idx in range(len(kids) - 1, -1, -1):
+                b = kids[idx]
                 sym = _BOND_CHAR[order_of[(a, b)]]
-                if idx < len(children[a]) - 1:
-                    out.append("(" + sym)
-                    walk(b)
-                    out.append(")")
+                if idx < len(kids) - 1:
+                    stack.append(("text", ")"))
+                    stack.append(("atom", b))
+                    stack.append(("text", "(" + sym))
                 else:
-                    out.append(sym)
-                    walk(b)
-
-        walk(root)
+                    stack.append(("atom", b))
+                    stack.append(("text", sym))
         return "".join(out)
 
     parts = []
@@ -229,21 +242,21 @@ def _parse_bracket(s: str, pos: int) -> Tuple[int, int, int, bool, int]:
     if k >= len(body):
         raise SmilesError(f"bracket without element: [{body}]")
     aromatic = False
-    if body[k:k + 2] in _TWO_CHAR:
-        sym, k = body[k:k + 2], k + 2
-    elif body[k].isupper():
+    if body[k].isupper():
+        # longest-match against the known element table (two-letter symbols
+        # like Na/Cl/Zn before their one-letter prefixes), but never consume
+        # a following H-count marker
         sym, k = body[k], k + 1
-        if k < len(body) and body[k].islower() and body[k] not in "hH" \
-                and sym + body[k] in ("Se", "As", "Si"):
+        if k < len(body) and body[k].islower() \
+                and (sym + body[k]) in periodic.ATOMIC_NUMS:
             sym, k = sym + body[k], k + 1
     elif body[k].islower():
-        if body[k] not in _BARE_AROM and body[k:k + 2] != "se":
-            raise SmilesError(f"unknown aromatic symbol in [{body}]")
-        aromatic = True
         if body[k:k + 2] == "se":
-            sym, k = "Se", k + 2
+            sym, k, aromatic = "Se", k + 2, True
+        elif body[k] in _BARE_AROM:
+            sym, k, aromatic = body[k].upper(), k + 1, True
         else:
-            sym, k = body[k].upper(), k + 1
+            raise SmilesError(f"unknown aromatic symbol in [{body}]")
     else:
         raise SmilesError(f"bad bracket atom [{body}]")
     try:
@@ -333,8 +346,7 @@ def from_smiles(smiles: str, name: str = "") -> Molecule:
         explicit_h.append(h)
         return len(zs) - 1
 
-    def bond_order(a: int, b: int, explicit: Optional[int],
-                   was_colon: bool) -> int:
+    def bond_order(a: int, b: int, explicit: Optional[int]) -> int:
         if explicit is not None:
             return explicit
         if aromatic[a] and aromatic[b]:
@@ -351,8 +363,7 @@ def from_smiles(smiles: str, name: str = "") -> Molecule:
                     and explicit != obond:
                 raise SmilesError(f"conflicting orders on ring bond {digit}")
             o = explicit if explicit is not None else obond
-            bonds.append((other, prev,
-                          bond_order(other, prev, o, o == 4)))
+            bonds.append((other, prev, bond_order(other, prev, o)))
         else:
             rings[digit] = (prev, explicit)
 
@@ -363,28 +374,27 @@ def from_smiles(smiles: str, name: str = "") -> Molecule:
             i, z, chg, arom, h = _parse_bracket(s, i)
             a = add_atom(z, chg, arom, h)
             if prev is not None:
-                bonds.append((prev, a,
-                              bond_order(prev, a, pending, pending == 4)))
+                bonds.append((prev, a, bond_order(prev, a, pending)))
             prev, pending = a, None
             continue
         if s[i:i + 2] in _TWO_CHAR:
             a = add_atom(_BARE[s[i:i + 2]], 0, False, 0)
             if prev is not None:
-                bonds.append((prev, a, bond_order(prev, a, pending, False)))
+                bonds.append((prev, a, bond_order(prev, a, pending)))
             prev, pending = a, None
             i += 2
             continue
         if c in _BARE:
             a = add_atom(_BARE[c], 0, False, 0)
             if prev is not None:
-                bonds.append((prev, a, bond_order(prev, a, pending, False)))
+                bonds.append((prev, a, bond_order(prev, a, pending)))
             prev, pending = a, None
             i += 1
             continue
         if c in _BARE_AROM:
             a = add_atom(_BARE_AROM[c], 0, True, 0)
             if prev is not None:
-                bonds.append((prev, a, bond_order(prev, a, pending, False)))
+                bonds.append((prev, a, bond_order(prev, a, pending)))
             prev, pending = a, None
             i += 1
             continue

@@ -111,3 +111,74 @@ def test_read_smiles_file(tmp_path):
 def test_molecule_method():
     m = from_smiles("CCO")
     assert m.to_smiles() == "CCO"
+
+
+def test_identity_key_is_representation_invariant():
+    """Review regression: aromatic and every Kekulé assignment of the same
+    molecule must share one uniqueness key (to_smiles aromatizes before
+    canonical ranking — chem/sanitize.py::aromatize)."""
+    same = [
+        ("c1ccccc1", "C1=CC=CC=C1"),
+        ("Cc1cccnc1", "CC1=CC=CN=C1"),
+        ("Cc1cccnc1", "CC=1C=CC=NC1"),       # the other Kekulé assignment
+        ("c1ccc2ccccc2c1", "C1=CC=C2C=CC=CC2=C1"),
+        ("c1cc[nH]c1", "C1=CC=CN1"),
+    ]
+    for a, b in same:
+        ka = identity_key(from_smiles(a).remove_hs())
+        kb = identity_key(from_smiles(b).remove_hs())
+        assert ka == kb, (a, b, ka, kb)
+    # round trips are fixed points
+    for smi in ["c1ccc2ccccc2c1", "O=C1C=CC(=O)C=C1", "C=Cc1ccccc1"]:
+        m = from_smiles(smi).remove_hs()
+        assert identity_key(from_smiles(to_smiles(m)).remove_hs()) \
+            == identity_key(m)
+
+
+def test_aromatize():
+    from ml_conformer_generator_tpu.chem import aromatize
+
+    def n_aromatic(m):
+        return sum(1 for _, _, o in m.bonds if o == 4)
+
+    assert n_aromatic(aromatize(from_smiles("C1=CC=CC=C1"))) == 6
+    assert n_aromatic(aromatize(from_smiles("C1=CC=C2C=CC=CC2=C1"))) == 11
+    assert n_aromatic(aromatize(from_smiles("C1=CC=CN1").remove_hs())) == 5
+    # NOT aromatic: quinone (exocyclic C=O, 4 pi), cyclohexane (sp3),
+    # cyclobutadiene (4n)
+    for smi in ["O=C1C=CC(=O)C=C1", "C1CCCCC1", "C1=CC=C1"]:
+        assert n_aromatic(aromatize(from_smiles(smi))) == 0
+    # idempotent on aromatic input
+    m = from_smiles("c1ccccc1")
+    assert n_aromatic(aromatize(m)) == 6
+
+
+def test_metal_counterions_and_salts():
+    """Review regression: salt forms in corpora must parse, not drop."""
+    for smi in ["[Na+]", "[K+]", "[Ca+2]", "[Fe]", "[Zn+2]", "[NH4+]"]:
+        m = from_smiles(smi)
+        assert to_smiles(m.remove_hs()).startswith("[")
+    salt = from_smiles("CC(=O)[O-].[Na+]")
+    assert len(salt.connected_components()) == 2
+    assert int(salt.charges.sum()) == 0
+
+
+def test_read_smiles_file_csv(tmp_path):
+    """Review regression: comma-separated smiles,name exports must load."""
+    p = tmp_path / "corpus.csv"
+    p.write_text("smiles,name\nCCO,ethanol\nc1ccccc1,benzene\n"
+                 "CC(=O)[O-].[Na+],sodium acetate\n")
+    mols = read_smiles_file(str(p))
+    assert [m.name for m in mols] == ["ethanol", "benzene", "sodium acetate"]
+    # corpus molecules come back kekulised (pipeline bond-order convention)
+    assert all(o != 4 for m in mols for _, _, o in m.bonds)
+
+
+def test_long_chain_no_recursion_limit():
+    """Review regression: emission is iterative — a 1500-atom chain must
+    not hit Python's recursion limit."""
+    n = 1500
+    smi = "C" * n
+    m = from_smiles(smi)
+    out = to_smiles(m)
+    assert out == "C" * n
