@@ -458,6 +458,10 @@ def aromatize(mol: Molecule, max_ring: int = 7) -> Molecule:
     any Kekule assignment of the same aromatic system maps to the same
     output, which is what makes the canonical SMILES representation-invariant
     (``chem/smiles.py``).
+
+    The accounting is ring-local: systems aromatic only as a whole (azulene's
+    10-electron bicycle) are left Kekule. That is a smaller aromaticity model
+    than RDKit's default — fine for the ring systems this generator emits.
     """
     from .perception import find_rings
 
