@@ -195,6 +195,37 @@ class ScreeningDriver:
         while pending:
             consume(pending.popleft())
 
+        return self._finalize_report(rep, timer, score, shape_sum, chem_sum,
+                                     t_start)
+
+    def screen_iter(self, references: Sequence[Molecule],
+                    n_samples: int = 100, variance: int = 2,
+                    queue_depth: int = 1):
+        """Streaming variant of :meth:`screen`: yields
+        ``(reference, [valid Molecule, ...])`` per reference AS each one
+        finishes, with the same depth-``queue_depth`` device pipeline. For
+        long screens this lets callers write results to disk incrementally
+        instead of holding the whole campaign in memory (the reference's
+        protocol only reports after the full run,
+        ``research_scripts/evaluation.py:198-268``)."""
+        from collections import deque
+
+        timer = StageTimer()
+        pending = deque()
+        for reference in references:
+            with timer.stage("dispatch"):
+                pending.append(self._dispatch(reference.remove_hs(),
+                                              n_samples, variance))
+            while len(pending) > max(queue_depth, 1):
+                d = pending.popleft()
+                yield d[0], self._finish(d, timer=timer)
+        while pending:
+            d = pending.popleft()
+            yield d[0], self._finish(d, timer=timer)
+        self.last_metrics = timer.summary()
+
+    def _finalize_report(self, rep, timer, score, shape_sum, chem_sum,
+                         t_start):
         rep.total_gen_time_s = time.perf_counter() - t_start
         if rep.n_valid and score:
             rep.avg_shape_tanimoto = shape_sum / rep.n_valid

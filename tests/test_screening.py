@@ -74,3 +74,17 @@ def test_screen_queue_depth_two(driver):
     assert rep.n_references == 3
     assert rep.n_requested == 18
     assert driver.last_metrics["requested"] == 18
+
+
+def test_screen_iter_streams_per_reference(driver):
+    from ml_conformer_generator_tpu.chem import read_mol_file
+
+    refs = [read_mol_file(CEYYAG).remove_hs(),
+            read_mol_file(CEYYAG).remove_hs()]
+    seen = []
+    for ref, valid in driver.screen_iter(refs, n_samples=8, variance=1):
+        assert ref.num_atoms == refs[0].num_atoms
+        assert isinstance(valid, list)
+        seen.append(ref)
+    assert len(seen) == 2
+    assert "dispatch_s" in driver.last_metrics
