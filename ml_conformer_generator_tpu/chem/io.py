@@ -228,7 +228,8 @@ def read_smiles_file(path: str, limit: Optional[int] = None,
     exports — one molecule per line, whitespace-separated optional name,
     ``#`` comments). Returns heavy-atom molecules with zero coordinates.
     """
-    from .sanitize import SanitizeError, kekulize
+    from .canonical import canonical_ranks, smiles_output_order
+    from .sanitize import SanitizeError, aromatize, kekulize
     from .smiles import SmilesError, from_smiles
 
     mols: List[Molecule] = []
@@ -243,11 +244,20 @@ def read_smiles_file(path: str, limit: Optional[int] = None,
             smi = parts[0].strip()
             name = parts[1].strip() if len(parts) > 1 else ""
             try:
-                m = from_smiles(smi, name=name)
-                # Kekulise so corpus molecules carry the same bond-order
-                # representation as the generated/SDF pipeline (Morgan
-                # invariants include bond orders, eval/fingerprints.py).
-                m = kekulize(m).remove_hs()
+                m = from_smiles(smi, name=name).remove_hs()
+                # Kekulise ON CANONICAL NUMBERING so corpus molecules carry
+                # an input-order-independent bond-order representation: a
+                # Kekule assignment depends on atom order, and for asymmetric
+                # aromatics different assignments are non-isomorphic labelled
+                # graphs, which would make the Morgan fingerprints used by
+                # FFD/FCD depend on how the corpus happened to write each
+                # SMILES (the reference's RDKit aromatic fingerprints are
+                # order-invariant). Same normalisation as smiles.to_smiles.
+                m = aromatize(m)
+                m = m.renumber(smiles_output_order(m, canonical_ranks(m)))
+                m.bonds = sorted(
+                    (min(i, j), max(i, j), o) for i, j, o in m.bonds)
+                m = kekulize(m)
             except (SmilesError, SanitizeError):
                 if not skip_bad:
                     raise

@@ -63,8 +63,13 @@ MAX_VALENCE_WITH_CHARGE: Dict[int, int] = {
 ELECTRONEGATIVE = frozenset({7, 8, 9, 16, 17, 35})
 
 #: Pi-electron contributions for simple Hueckel aromaticity accounting.
-#: (element -> electrons contributed by a ring atom with no exocyclic double bond)
-PI_ELECTRONS_LONE_PAIR = {7: 2, 8: 2, 16: 2}
+#: (element -> electrons contributed by a ring atom with no exocyclic double
+#: bond). Must cover every element the SMILES parser accepts in aromatic form
+#: (``smiles._AROMATIC_OK``) and every lone-pair donor the kekuliser accepts
+#: (``sanitize.kekulize``): pyrrole N, furan O, thiophene S, phosphole P,
+#: selenophene Se. Otherwise aromatize cannot re-perceive a ring the parser
+#: produced and identity keys stop being representation-invariant.
+PI_ELECTRONS_LONE_PAIR = {7: 2, 8: 2, 15: 2, 16: 2, 34: 2}
 
 
 def covalent_radius(z: int) -> float:

@@ -480,11 +480,19 @@ def aromatize(mol: Molecule, max_ring: int = 7) -> Molecule:
 
     aromatic_bonds = set()
     for ring in rings:
-        rset = set(ring)
         electrons = 0
         ok = True
         for a in ring:
             partners = multi[a]
+            # The endo-pi test is deliberately against atoms of ANY ring, not
+            # just this one: in fused systems a Kekule assignment can place an
+            # atom's double bond in the adjoining ring (naphthalene's second
+            # Kekule form puts C8a=C1 in the other ring), and a strictly
+            # ring-local test would make aromatisation depend on which Kekule
+            # assignment the input carried — breaking the invariance this
+            # function exists to provide. Cost: a cross-conjugated bond
+            # between two *unfused* rings (fulvalene) also counts as endo;
+            # such systems are rejected by the 4n+2 count instead.
             if any(p in ring_atoms for p in partners):
                 electrons += 1
             elif partners:

@@ -110,7 +110,10 @@ def identity_key(mol: Molecule) -> str:
     from ..chem.smiles import to_smiles
     try:
         return to_smiles(mol)
-    except SanitizeError:
+    except (SanitizeError, ValueError):
+        # SanitizeError: unkekulisable aromatic system. ValueError: element
+        # outside periodic.SYMBOLS (no SMILES token). Either way the key
+        # function stays total via the labelled-graph serialisation.
         pass
     ranks = canonical_ranks(mol)
     order = np.argsort(ranks, kind="stable")

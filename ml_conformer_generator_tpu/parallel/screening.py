@@ -212,17 +212,23 @@ class ScreeningDriver:
 
         timer = StageTimer()
         pending = deque()
-        for reference in references:
-            with timer.stage("dispatch"):
-                pending.append(self._dispatch(reference.remove_hs(),
-                                              n_samples, variance))
-            while len(pending) > max(queue_depth, 1):
-                d = pending.popleft()
-                yield d[0], self._finish(d, timer=timer)
-        while pending:
-            d = pending.popleft()
-            yield d[0], self._finish(d, timer=timer)
-        self.last_metrics = timer.summary()
+        try:
+            for reference in references:
+                with timer.stage("dispatch"):
+                    pending.append((reference,
+                                    self._dispatch(reference.remove_hs(),
+                                                   n_samples, variance)))
+                while len(pending) > max(queue_depth, 1):
+                    ref, d = pending.popleft()
+                    yield ref, self._finish(d, timer=timer)
+            while pending:
+                ref, d = pending.popleft()
+                yield ref, self._finish(d, timer=timer)
+        finally:
+            # Runs on GeneratorExit too, so a caller that breaks out of the
+            # stream early still sees this run's (partial) stage metrics
+            # rather than a stale summary from a previous run.
+            self.last_metrics = timer.summary()
 
     def _finalize_report(self, rep, timer, score, shape_sum, chem_sum,
                          t_start):

@@ -24,8 +24,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_mesh_train_and_sample():
+    # Hang protection comes from communicate(timeout=240) below
+    # (pytest-timeout is not installed in this environment).
     port = _free_port()
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # never touch the TPU tunnel

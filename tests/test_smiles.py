@@ -182,3 +182,58 @@ def test_long_chain_no_recursion_limit():
     m = from_smiles(smi)
     out = to_smiles(m)
     assert out == "C" * n
+
+
+def test_p_se_heterocycle_identity_invariant():
+    """Advisor r3 regression: aromatize's lone-pair scope must match the
+    parser's aromatic-element set (smiles._AROMATIC_OK), so aromatic and
+    Kekulé forms of phosphole/selenophene share one identity key
+    (periodic.PI_ELECTRONS_LONE_PAIR includes P and Se)."""
+    pairs = [
+        ("c1cc[se]c1", "C1=CC=C[Se]1"),    # selenophene
+        ("c1cc[pH]c1", "C1=CC=C[PH]1"),    # phosphole
+        ("c1ccc2[se]ccc2c1", "C1=CC=C2[Se]C=CC2=C1"),  # fused Se bicycle
+    ]
+    for a, b in pairs:
+        ka = identity_key(from_smiles(a).remove_hs())
+        kb = identity_key(from_smiles(b).remove_hs())
+        assert ka == kb, (a, b, ka, kb)
+
+
+def test_fused_kekule_assignment_invariance():
+    """Advisor r3: the endo-pi test in aromatize is deliberately against
+    atoms of ANY ring — both Kekulé assignments of naphthalene (one puts the
+    8a=1 double bond "in the other ring") must aromatize identically."""
+    from ml_conformer_generator_tpu.chem import aromatize
+
+    forms = ["C1=CC=C2C=CC=CC2=C1",        # doubles on the fusion bond side
+             "C=1C=CC=2C=CC=CC2C1",        # shifted assignment
+             "c1ccc2ccccc2c1"]
+    keys = {identity_key(from_smiles(s).remove_hs()) for s in forms}
+    assert len(keys) == 1, keys
+    n_arom = {sum(1 for _, _, o in aromatize(from_smiles(s).remove_hs()).bonds
+                  if o == 4) for s in forms}
+    assert n_arom == {11}
+    # fulvalene (two unfused cross-conjugated rings) stays non-aromatic
+    fulvalene = from_smiles("C1=CC(=C2C=CC=C2)C=C1")
+    assert all(o != 4 for _, _, o in aromatize(fulvalene).bonds)
+
+
+def test_read_smiles_file_order_invariant_fingerprints(tmp_path):
+    """Advisor r3 regression: corpus molecules must carry an
+    input-order-independent Kekulé assignment, else Morgan fingerprints (and
+    hence FFD/FCD) depend on how each corpus wrote its SMILES."""
+    from ml_conformer_generator_tpu.eval.fingerprints import morgan_fingerprint
+
+    p = tmp_path / "corpus.smi"
+    # the same o-disubstituted benzene written from different start atoms /
+    # directions, plus an asymmetric aromatic with a hetero ring
+    p.write_text("Clc1ccccc1Br a\n"
+                 "Brc1ccccc1Cl b\n"
+                 "c1cc(Br)c(Cl)cc1 c\n"
+                 "Cc1cccnc1 d\n"
+                 "c1ncc(C)cc1 e\n")
+    mols = read_smiles_file(str(p))
+    fps = [tuple(morgan_fingerprint(m)) for m in mols]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] == fps[4]
