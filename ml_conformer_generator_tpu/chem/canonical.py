@@ -1,4 +1,4 @@
-"""Canonical atom ordering (Morgan-style refinement + SMILES-writer DFS).
+"""Canonical atom ordering (Schneider/Sayle/Landrum ranking + writer DFS).
 
 The reference canonicalises atom order via RDKit canonical-SMILES output order
 (``utils/mol_utils.py:110-126``) before bond prediction. That order is NOT the
@@ -7,48 +7,184 @@ SMILES *writer* — rooted at the lowest-rank atom, visiting neighbours in
 ascending canonical rank — so consecutive indices are almost always bonded.
 AdjMatSeer treats node position as a feature (``nodes_coord_fc`` and the
 per-node resize, ``adj_mat_seer.py:92,135-143,154-165``), so its trained
-weights saw DFS-ordered inputs; this module emulates that order:
+weights saw DFS-ordered inputs; this module reproduces that order:
 
-* :func:`canonical_ranks` — Morgan/invariant-refinement ranking (initial
-  invariants: degree, bond-order sum, element, charge — on the all-single-bond
-  graphs this path sees, these coincide with RDKit's effective invariants),
-  deterministic tie-breaking;
+* :func:`canonical_ranks` — the published RDKit canonical-ranking algorithm
+  (Schneider, Sayle, Landrum, "Get Your Atoms in Order — An Open-Source
+  Implementation of a Novel and Robust Molecular Canonicalization Algorithm",
+  J. Chem. Inf. Model. 2015, 55, 2111-2120; RDKit ``Canon.cpp``):
+
+  - initial invariants per atom, compared in this sequence: degree,
+    explicit valence, atomic number, formal charge, attached-hydrogen count
+    (explicit H neighbours + implicit by the valence model), ring membership
+    (atom lies on at least one cycle — computed exactly via bridge finding,
+    not bounded ring search);
+  - iterative partition refinement: each atom's key is its current rank
+    followed by the multiset of its neighbours' (bond order, rank) pairs in
+    DECREASING order (the paper's neighbour ordering; RDKit's ``bondholder``
+    sorts bond type before neighbour class), so classes only ever split;
+  - tie-breaking when refinement stabilises with ties left: the
+    lowest-ranked tied class is split by promoting one member (RDKit's
+    ``BreakTies``: the first atom in index order), then refinement reruns.
+    After full refinement, tied atoms are symmetry-equivalent on these
+    graphs, so which member is promoted changes the numbering only up to an
+    automorphism — the canonical SMILES string is unaffected.
+
 * :func:`smiles_output_order` — the writer traversal over those ranks;
 * :func:`canonicalise` — renumber into that order.
 
-Exact tie-break parity with RDKit's implementation cannot be verified in this
-environment (RDKit is not installable and there is no network access); what is
-reproduced is the documented structure of the order — connected DFS, canonical
-root, rank-ordered branches — which determines the positional statistics the
-trained bond predictor is sensitive to. The order is permutation-invariant,
-unique, and stable (tested).
+Inputs that could still diverge from RDKit (no RDKit and no network in this
+environment, so algorithm-level fidelity is documented instead of
+cross-checked):
+
+1. Aromatic N-H information is not recoverable from a heavy-atom graph: the
+   attached-H invariant cannot distinguish pyrrole-type from pyridine-type
+   nitrogens once explicit hydrogens are stripped (imidazole's two N get
+   equal initial invariants here; RDKit, which carries per-atom H counts,
+   splits them). The affected ranks still refine deterministically — only
+   the numbering within such N pairs can differ from RDKit's.
+2. Isotopes are not tracked (the generator's element set has none).
+3. RDKit's chirality/ring-stereo invariants are not reproduced (this
+   pipeline is constitution-only, as is the reference's use of
+   ``DetermineConnectivity`` output).
+4. Aromatic bonds count 1.5 toward explicit valence (as in RDKit); this
+   module stores them as order 4 and rounds the valence half up, which
+   matches RDKit's integer valence for every aromatic system this pipeline
+   emits.
+
+On the trained-weights path (AdjMatSeer input ordering) molecules arrive from
+``DetermineConnectivity`` with all-single bonds and no explicit hydrogens, so
+invariants 1-4 above cannot fire there: the remaining divergence risk on that
+path is RDKit tie-break order among symmetry-equivalent atoms, which is an
+automorphism (same unordered graph, same distance matrix rows up to the
+symmetry) — see ``tests/test_chem.py`` golden-order cases.
+
+The native C++ worker (``native/chemhost.cpp``) implements the identical
+algorithm; ``tests/test_native.py`` checks bit-identity.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
+from . import periodic
 from .mol import Molecule
 
 
-def _initial_invariants(mol: Molecule) -> List[tuple]:
-    """Degree, bond-order sum, element, charge — geometry-free invariants.
+def _ring_membership_exact(n: int, bonds) -> List[int]:
+    """1 for atoms lying on any cycle; exact via bridge finding.
 
-    Plain tuples (not Python hashes) so the ranking is bit-reproducible across
-    processes and matches the native C++ implementation exactly
-    (``native/chemhost.cpp``).
+    An edge is a bridge iff it lies on no cycle (Tarjan low-link); an atom is
+    in a ring iff at least one incident edge is not a bridge. Unlike the
+    bounded search in ``perception.find_rings`` this is exact for any ring
+    size, as RDKit's ``isInRing`` flag is. Iterative DFS (corpus molecules
+    exceed Python's recursion limit).
     """
-    deg = [0] * mol.num_atoms
-    order_sum = [0] * mol.num_atoms
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for e, (i, j, _o) in enumerate(bonds):
+        adj[i].append((j, e))
+        adj[j].append((i, e))
+    disc = [-1] * n
+    low = [0] * n
+    in_ring = [0] * n
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        # stack entries: (atom, parent edge id, neighbour cursor)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            a, pe, cur = stack[-1]
+            if cur < len(adj[a]):
+                stack[-1] = (a, pe, cur + 1)
+                b, e = adj[a][cur]
+                if e == pe:
+                    continue
+                if disc[b] == -1:
+                    disc[b] = low[b] = timer
+                    timer += 1
+                    stack.append((b, e, 0))
+                else:
+                    low[a] = min(low[a], disc[b])
+            else:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[a])
+                    if low[a] <= disc[p]:
+                        # tree edge (p, a) lies on a cycle (not a bridge)
+                        in_ring[a] = in_ring[p] = 1
+    return in_ring
+
+
+def _attached_h_counts(mol: Molecule) -> List[int]:
+    """Total attached hydrogens: explicit H neighbours + implicit.
+
+    Implicit count follows the valence model of ``sanitize.implicit_hydrogens``
+    but is total (never raises): explicit valence counts aromatic bonds as
+    1.5 rounded half up; the target valence is the smallest allowed neutral
+    valence >= the explicit valence (``periodic.DEFAULT_VALENCES``), or the
+    charge-adjusted maximum for charged atoms; atoms exceeding every allowed
+    valence get 0 implicit hydrogens.
+    """
+    from .sanitize import _max_valence
+
+    n = mol.num_atoms
+    v2 = [0] * n          # 2x bond order; aromatic (order 4) counts 3
+    exp_h = [0] * n
+    for i, j, o in mol.bonds:
+        w = 3 if o == 4 else 2 * o
+        v2[i] += w
+        v2[j] += w
+        if int(mol.atomic_nums[j]) == 1:
+            exp_h[i] += 1
+        if int(mol.atomic_nums[i]) == 1:
+            exp_h[j] += 1
+    out = []
+    for a in range(n):
+        z = int(mol.atomic_nums[a])
+        chg = int(mol.charges[a])
+        vceil = (v2[a] + 1) // 2
+        if chg == 0:
+            allowed = periodic.DEFAULT_VALENCES.get(z, (vceil,))
+            target = next((t for t in allowed if t >= vceil), vceil)
+        else:
+            target = _max_valence(z, chg)
+        out.append(exp_h[a] + max(0, target - vceil))
+    return out
+
+
+def _initial_invariants(mol: Molecule) -> List[tuple]:
+    """Schneider/Sayle/Landrum 2015 initial invariants, compared in order:
+    (degree, explicit valence, atomic number, charge, attached-H count,
+    ring membership). Plain tuples (not Python hashes) so the ranking is
+    bit-reproducible across processes and matches the native C++
+    implementation exactly (``native/chemhost.cpp``).
+    """
+    n = mol.num_atoms
+    deg = [0] * n
+    v2 = [0] * n
     for i, j, o in mol.bonds:
         deg[i] += 1
         deg[j] += 1
-        order_sum[i] += o
-        order_sum[j] += o
-    return [(deg[a], order_sum[a], int(mol.atomic_nums[a]),
-             int(mol.charges[a])) for a in range(mol.num_atoms)]
+        w = 3 if o == 4 else 2 * o
+        v2[i] += w
+        v2[j] += w
+    h = _attached_h_counts(mol)
+    ring = _ring_membership_exact(n, mol.bonds)
+    return [(deg[a], (v2[a] + 1) // 2, int(mol.atomic_nums[a]),
+             int(mol.charges[a]), h[a], ring[a]) for a in range(n)]
+
+
+def _neighbor_key(a: int, ranks, adj) -> tuple:
+    """Refinement key: current rank, then neighbour (bond order, rank) pairs
+    in decreasing order (the paper's neighbour ordering)."""
+    neigh = sorted(((o, int(ranks[b])) for b, o in adj[a]), reverse=True)
+    return (int(ranks[a]), tuple(neigh))
 
 
 def canonical_ranks(mol: Molecule, max_iters: int = 64) -> np.ndarray:
@@ -68,18 +204,15 @@ def canonical_ranks(mol: Molecule, max_iters: int = 64) -> np.ndarray:
     inv = _initial_invariants(mol)
     ranks = _ranks_from_keys(inv)
     for _ in range(max_iters):
-        new_inv = []
-        for a in range(n):
-            neigh = sorted((int(ranks[b]), o) for b, o in adj[a])
-            new_inv.append((int(ranks[a]), tuple(neigh)))
-        new_ranks = _ranks_from_keys(new_inv)
+        new_ranks = _ranks_from_keys(
+            [_neighbor_key(a, ranks, adj) for a in range(n)])
         if np.array_equal(new_ranks, ranks) or len(set(new_ranks)) == n:
             ranks = new_ranks
             break
         ranks = new_ranks
 
-    # Break remaining ties deterministically (symmetric atoms): lowest current
-    # index wins, then re-refine.
+    # BreakTies (Canon.cpp): split the lowest-ranked tied class by promoting
+    # its first member in atom-index order, then re-refine to stability.
     while len(set(ranks.tolist())) < n:
         counts = {}
         for r in ranks:
@@ -89,11 +222,8 @@ def canonical_ranks(mol: Molecule, max_iters: int = 64) -> np.ndarray:
         keys = [(int(ranks[a]), 0 if a == first else 1, 0) for a in range(n)]
         ranks = _ranks_from_keys(keys)
         for _ in range(max_iters):
-            new_inv = []
-            for a in range(n):
-                neigh = sorted((int(ranks[b]), o) for b, o in adj[a])
-                new_inv.append((int(ranks[a]), tuple(neigh)))
-            new_ranks = _ranks_from_keys(new_inv)
+            new_ranks = _ranks_from_keys(
+                [_neighbor_key(a, ranks, adj) for a in range(n)])
             if np.array_equal(new_ranks, ranks):
                 break
             ranks = new_ranks

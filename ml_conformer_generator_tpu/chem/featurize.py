@@ -51,13 +51,16 @@ def prepare_adj_mat_seer_input(mols: List[Molecule],
     adj = np.zeros((B, dimension, dimension), dtype=np.float32)
     eye = np.eye(dimension, dtype=np.float32)
 
-    # Perceive connectivity where needed, then canonical-rank the whole batch
-    # through the native worker pool in one call (chem/native.py); falls back
-    # to per-molecule Python ranking inside canonicalise().
+    # Re-perceive connectivity UNCONDITIONALLY — the reference's canonicalise
+    # calls rdDetermineBonds.DetermineConnectivity on every input
+    # (mol_utils.py:117), replacing any existing bond orders with generic
+    # single bonds, so the canonical ranks the bond predictor's ordering is
+    # built on always see the all-single graph. Then canonical-rank the
+    # whole batch through the native worker pool in one call
+    # (chem/native.py); falls back to per-molecule Python ranking.
     from . import native
     from .perception import determine_connectivity
-    bonded = [m if m.num_bonds > 0 else determine_connectivity(m)
-              for m in mols]
+    bonded = [determine_connectivity(m) for m in mols]
     batch_ranks = native.canonical_ranks_batch(bonded)
 
     canon: List[Molecule] = []

@@ -24,6 +24,9 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _LIB_PATH = os.path.join(_REPO_ROOT, "native", "libchemhost.so")
 _SRC_PATH = os.path.join(_REPO_ROOT, "native", "chemhost.cpp")
+#: must match chemhost_abi_version() in chemhost.cpp (v2: published-algorithm
+#: canonical ranks); a mismatching .so is rebuilt, never silently used.
+_ABI_VERSION = 2
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -58,8 +61,21 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.chemhost_abi_version.restype = ctypes.c_int
-        if lib.chemhost_abi_version() != 1:
-            return None
+        if lib.chemhost_abi_version() != _ABI_VERSION:
+            # Stale build from an older source revision: rebuild once (a
+            # version mismatch must never silently fall back — the Python
+            # and native rank algorithms are required to be bit-identical).
+            # dlopen caches by pathname, so load the rebuilt library under a
+            # version-suffixed copy to bypass the stale handle.
+            if not _build():
+                return None
+            import shutil
+            alt = f"{_LIB_PATH}.abi{_ABI_VERSION}"
+            shutil.copy2(_LIB_PATH, alt)
+            lib = ctypes.CDLL(alt)
+            lib.chemhost_abi_version.restype = ctypes.c_int
+            if lib.chemhost_abi_version() != _ABI_VERSION:
+                return None
         lib.chemhost_connectivity.restype = ctypes.c_int
         lib.chemhost_connectivity.argtypes = [
             ctypes.c_int, _i32p, _f64p, ctypes.c_double, _i32p, ctypes.c_int]

@@ -11,9 +11,11 @@
 // ml_conformer_generator_tpu/chem/native.py; no pybind11 dependency):
 //   * connectivity-by-distance perception (covalent radii + 0.45 A tolerance,
 //     mirroring chem/perception.py:23-43);
-//   * Morgan-refinement canonical ranks with deterministic tie-breaking,
-//     bit-identical to chem/canonical.py:41-101 (both sides rank by plain
-//     lexicographic key comparison, no Python hashing);
+//   * canonical ranks per the published RDKit algorithm (Schneider/Sayle/
+//     Landrum 2015: degree/valence/element/charge/H-count/ring-membership
+//     invariants, decreasing-order neighbour refinement, BreakTies),
+//     bit-identical to chem/canonical.py::canonical_ranks (both sides rank
+//     by plain lexicographic key comparison, no Python hashing);
 //   * bounded smallest-ring perception (chem/perception.py:51-106);
 //   * a std::thread worker pool for batched canonical ranking — the
 //     "standardization/valence worker pool" of the TPU-native design: one
@@ -80,48 +82,146 @@ bool all_distinct(const std::vector<int64_t>& ranks) {
   return std::adjacent_find(s.begin(), s.end()) == s.end();
 }
 
+// Allowed neutral valences ascending; mirror of periodic.DEFAULT_VALENCES.
+const std::vector<int64_t>& default_valences(int z) {
+  static const std::vector<int64_t> v1{1}, v2{2}, v246{2, 4, 6}, v3{3},
+      v35{3, 5}, v4{4}, v135{1, 3, 5}, none{};
+  switch (z) {
+    case 1: case 9: case 17: case 35: return v1;
+    case 5: case 7: return v3;
+    case 6: case 14: return v4;
+    case 8: return v2;
+    case 15: case 33: return v35;
+    case 16: case 34: return v246;
+    case 53: return v135;
+    default: return none;
+  }
+}
+
+// Mirror of sanitize._max_valence (charge-adjusted maximum).
+int64_t max_valence(int z, int chg) {
+  const auto& dv = default_valences(z);
+  int64_t base = dv.empty() ? 4 : dv.back();
+  if (chg == 0) return base;
+  if (z == 7) return chg > 0 ? 4 : 2;
+  if (z == 8) return chg > 0 ? 3 : 1;
+  if (z == 6) return 3;
+  if (z == 16) return 6;
+  if ((z == 9 || z == 17 || z == 35 || z == 53) && chg < 0) return 0;
+  return base + (chg < 0 ? -chg : chg);
+}
+
+// 1 for atoms on any cycle: iterative bridge finding (Tarjan low-link),
+// mirror of chem/canonical.py::_ring_membership_exact.
+std::vector<int64_t> ring_membership(int n, int nb, const int32_t* bonds) {
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(n);  // (nbr, edge)
+  for (int k = 0; k < nb; ++k) {
+    int32_t i = bonds[3 * k], j = bonds[3 * k + 1];
+    adj[i].push_back({j, k});
+    adj[j].push_back({i, k});
+  }
+  std::vector<int32_t> disc(n, -1), low(n, 0);
+  std::vector<int64_t> in_ring(n, 0);
+  int32_t timer = 0;
+  struct Frame { int32_t a; int32_t pe; size_t cur; };
+  for (int root = 0; root < n; ++root) {
+    if (disc[root] != -1) continue;
+    std::vector<Frame> stack{{root, -1, 0}};
+    disc[root] = low[root] = timer++;
+    while (!stack.empty()) {
+      Frame& f = stack.back();
+      if (f.cur < adj[f.a].size()) {
+        auto [b, e] = adj[f.a][f.cur++];
+        if (e == f.pe) continue;
+        if (disc[b] == -1) {
+          disc[b] = low[b] = timer++;
+          stack.push_back({b, e, 0});
+        } else {
+          low[f.a] = std::min(low[f.a], disc[b]);
+        }
+      } else {
+        int32_t a = f.a;
+        stack.pop_back();
+        if (!stack.empty()) {
+          int32_t p = stack.back().a;
+          low[p] = std::min(low[p], low[a]);
+          if (low[a] <= disc[p]) in_ring[a] = in_ring[p] = 1;
+        }
+      }
+    }
+  }
+  return in_ring;
+}
+
 void canonical_ranks_one(int n, const int32_t* z, const int32_t* charges,
                          int nb, const int32_t* bonds, int64_t* out_ranks,
                          int max_iters) {
   if (n == 0) return;
   std::vector<std::vector<std::pair<int32_t, int32_t>>> adj(n);
-  std::vector<int64_t> deg(n, 0), osum(n, 0);
+  std::vector<int64_t> deg(n, 0), v2(n, 0), exp_h(n, 0);
   for (int k = 0; k < nb; ++k) {
     int32_t i = bonds[3 * k], j = bonds[3 * k + 1], o = bonds[3 * k + 2];
     adj[i].push_back({j, o});
     adj[j].push_back({i, o});
     deg[i]++; deg[j]++;
-    osum[i] += o; osum[j] += o;
+    int64_t w = (o == 4) ? 3 : 2 * o;   // 2x order; aromatic counts 1.5
+    v2[i] += w; v2[j] += w;
+    if (z[j] == 1) exp_h[i]++;
+    if (z[i] == 1) exp_h[j]++;
   }
+  std::vector<int64_t> ring = ring_membership(n, nb, bonds);
 
-  // Initial invariants: (degree, bond-order sum, element, charge).
+  // Initial invariants (Schneider/Sayle/Landrum 2015; mirror of
+  // chem/canonical.py::_initial_invariants): degree, explicit valence
+  // (aromatic 1.5, rounded half up), atomic number, charge, attached-H
+  // count (explicit H neighbours + implicit by the valence model), ring
+  // membership.
   std::vector<Key> keys(n);
-  for (int a = 0; a < n; ++a)
-    keys[a] = {deg[a], osum[a], z[a], charges ? charges[a] : 0};
+  for (int a = 0; a < n; ++a) {
+    int chg = charges ? charges[a] : 0;
+    int64_t vceil = (v2[a] + 1) / 2;
+    int64_t target;
+    if (chg == 0) {
+      const auto& allowed = default_valences(z[a]);
+      target = vceil;
+      for (int64_t t : allowed)
+        if (t >= vceil) { target = t; break; }
+    } else {
+      target = max_valence(z[a], chg);
+    }
+    int64_t h = exp_h[a] + std::max<int64_t>(0, target - vceil);
+    keys[a] = {deg[a], vceil, z[a], chg, h, ring[a]};
+  }
   std::vector<int64_t> ranks = ranks_from_keys(keys);
 
-  auto refine = [&](std::vector<int64_t>& r, int iters) {
-    for (int it = 0; it < iters; ++it) {
-      for (int a = 0; a < n; ++a) {
-        std::vector<std::pair<int64_t, int64_t>> neigh;
-        neigh.reserve(adj[a].size());
-        for (auto& [b, o] : adj[a]) neigh.push_back({r[b], o});
-        std::sort(neigh.begin(), neigh.end());
-        Key k;
-        k.reserve(1 + 2 * neigh.size());
-        k.push_back(r[a]);
-        for (auto& [rb, o] : neigh) { k.push_back(rb); k.push_back(o); }
-        keys[a] = std::move(k);
-      }
-      std::vector<int64_t> nr = ranks_from_keys(keys);
-      bool stable = (nr == r);
-      r = std::move(nr);
-      if (stable || all_distinct(r)) break;
+  // Refinement key: current rank, then neighbour (bond order, rank) pairs
+  // in DECREASING order (the paper's neighbour ordering; mirror of
+  // chem/canonical.py::_neighbor_key).
+  auto neighbor_keys = [&](const std::vector<int64_t>& r) {
+    for (int a = 0; a < n; ++a) {
+      std::vector<std::pair<int64_t, int64_t>> neigh;
+      neigh.reserve(adj[a].size());
+      for (auto& [b, o] : adj[a]) neigh.push_back({o, r[b]});
+      std::sort(neigh.begin(), neigh.end(),
+                std::greater<std::pair<int64_t, int64_t>>());
+      Key k;
+      k.reserve(1 + 2 * neigh.size());
+      k.push_back(r[a]);
+      for (auto& [o, rb] : neigh) { k.push_back(o); k.push_back(rb); }
+      keys[a] = std::move(k);
     }
   };
-  refine(ranks, max_iters);
 
-  // Deterministic tie-breaking: lowest tied rank, lowest atom index wins.
+  for (int it = 0; it < max_iters; ++it) {
+    neighbor_keys(ranks);
+    std::vector<int64_t> nr = ranks_from_keys(keys);
+    bool stable = (nr == ranks);
+    ranks = std::move(nr);
+    if (stable || all_distinct(ranks)) break;
+  }
+
+  // BreakTies: split the lowest-ranked tied class by promoting its first
+  // member in atom-index order, then re-refine to stability.
   while (!all_distinct(ranks)) {
     std::vector<int> count(n, 0);
     for (int a = 0; a < n; ++a) count[ranks[a]]++;
@@ -134,20 +234,8 @@ void canonical_ranks_one(int n, const int32_t* z, const int32_t* charges,
     for (int a = 0; a < n; ++a)
       keys[a] = {ranks[a], (a == first) ? 0 : 1, 0};
     ranks = ranks_from_keys(keys);
-    // Re-refine until stable (matches canonical.py:74-82, which loops on
-    // rank stability only).
     for (int it = 0; it < max_iters; ++it) {
-      for (int a = 0; a < n; ++a) {
-        std::vector<std::pair<int64_t, int64_t>> neigh;
-        neigh.reserve(adj[a].size());
-        for (auto& [b, o] : adj[a]) neigh.push_back({ranks[b], o});
-        std::sort(neigh.begin(), neigh.end());
-        Key k;
-        k.reserve(1 + 2 * neigh.size());
-        k.push_back(ranks[a]);
-        for (auto& [rb, o] : neigh) { k.push_back(rb); k.push_back(o); }
-        keys[a] = std::move(k);
-      }
+      neighbor_keys(ranks);
       std::vector<int64_t> nr = ranks_from_keys(keys);
       if (nr == ranks) break;
       ranks = std::move(nr);
@@ -290,6 +378,8 @@ int chemhost_find_rings(int n, int nb, const int32_t* bonds, int max_size,
   return static_cast<int>(rings.size());
 }
 
-int chemhost_abi_version() { return 1; }
+// v2: canonical ranks follow the published RDKit algorithm (Schneider/
+// Sayle/Landrum 2015 invariants + decreasing-order neighbour refinement).
+int chemhost_abi_version() { return 2; }
 
 }  // extern "C"

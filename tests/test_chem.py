@@ -267,3 +267,89 @@ def test_pdb_first_model_only():
     m = from_pdb_block(two_models)
     assert m.num_atoms == 1
     np.testing.assert_allclose(m.coords[0], [0.0, 0.0, 0.0])
+
+
+def test_canonical_ranks_golden_acetic_acid():
+    """Hand-verified Schneider/Sayle/Landrum initial invariants (r4 VERDICT
+    item 3): acetic acid CC(=O)O. Invariants (degree, valence, Z, charge,
+    H count, ring): C_methyl (1,1,6,0,3,0) < O_hydroxyl (1,1,8,0,1,0)
+    < O_carbonyl (1,2,8,0,0,0) < C_carboxyl (3,4,6,0,0,0) — all distinct
+    before refinement, so the ranks are exactly the invariant sort. The
+    attached-H invariant is what splits the two oxygens."""
+    from ml_conformer_generator_tpu.chem.canonical import canonical_ranks
+
+    mol = Molecule(np.array([6, 6, 8, 8]), np.zeros((4, 3)),
+                   bonds=[(0, 1, 1), (1, 2, 2), (1, 3, 1)])
+    assert canonical_ranks(mol).tolist() == [0, 3, 2, 1]
+
+
+def test_canonical_ranks_golden_toluene():
+    """Toluene (aromatized): methyl (deg 1) ranks first; para < meta < ortho
+    by refinement (ortho sees the rank-6 ipso); ipso (deg 3, valence 4)
+    last. Ring membership and half-rounded aromatic valence per the
+    published invariants."""
+    from ml_conformer_generator_tpu.chem.canonical import canonical_ranks
+
+    # atoms: 0 methyl, 1 ipso, 2/6 ortho, 3/5 meta, 4 para
+    ring = [(1, 2, 4), (2, 3, 4), (3, 4, 4), (4, 5, 4), (5, 6, 4),
+            (6, 1, 4)]
+    mol = Molecule(np.full(7, 6), np.zeros((7, 3)),
+                   bonds=[(0, 1, 1)] + ring)
+    r = canonical_ranks(mol).tolist()
+    assert r[0] == 0 and r[1] == 6
+    assert r[4] == 1                      # para
+    assert sorted([r[3], r[5]]) == [2, 3]  # meta pair (automorphic split)
+    assert sorted([r[2], r[6]]) == [4, 5]  # ortho pair
+
+
+def test_canonical_ranks_ring_membership_invariant():
+    """Ring membership is exact (bridge finding), not bounded ring search:
+    in a 12-membered ring with a pendant chain, ring atoms and chain atoms
+    of equal degree/element are split by the ring invariant."""
+    from ml_conformer_generator_tpu.chem.canonical import (
+        _ring_membership_exact, canonical_ranks)
+
+    n_ring = 12
+    bonds = [(i, (i + 1) % n_ring, 1) for i in range(n_ring)]
+    bonds += [(0, 12, 1), (12, 13, 1), (13, 14, 1)]   # 3-atom pendant chain
+    mol = Molecule(np.full(15, 6), np.zeros((15, 3)), bonds=bonds)
+    assert _ring_membership_exact(15, bonds) == [1] * 12 + [0] * 3
+    r = canonical_ranks(mol)
+    # degree-2 chain atoms (12, 13) rank below all degree-2 ring atoms
+    chain_deg2 = {int(r[12]), int(r[13])}
+    ring_deg2 = {int(r[i]) for i in range(1, 12)}
+    assert max(chain_deg2) < min(ring_deg2)
+
+
+def test_canonical_ranks_hcount_splits_charged_oxygens():
+    """Acetate CC(=O)[O-]: the carbonyl O (neutral, 0 H) and the charged O
+    (-1, 0 H by the charge-adjusted valence model) split on the charge
+    invariant, not on H count."""
+    from ml_conformer_generator_tpu.chem.canonical import (
+        _attached_h_counts, _initial_invariants)
+
+    mol = Molecule(np.array([6, 6, 8, 8]), np.zeros((4, 3)),
+                   bonds=[(0, 1, 1), (1, 2, 2), (1, 3, 1)],
+                   charges=np.array([0, 0, 0, -1]))
+    assert _attached_h_counts(mol) == [3, 0, 0, 0]
+    inv = _initial_invariants(mol)
+    assert inv[2] != inv[3] and inv[2][3] == 0 and inv[3][3] == -1
+
+
+def test_canonical_ranks_documented_imidazole_divergence():
+    """Documented divergence #1 (canonical.py module doc): on heavy-atom
+    graphs the two imidazole nitrogens carry equal initial invariants (the
+    pyrrole/pyridine N-H distinction is not recoverable); ranking must
+    still be deterministic and permutation-invariant."""
+    from ml_conformer_generator_tpu.chem import from_smiles, to_smiles
+    from ml_conformer_generator_tpu.chem.canonical import _initial_invariants
+    from ml_conformer_generator_tpu.chem.sanitize import aromatize
+
+    m = aromatize(from_smiles("c1c[nH]cn1").remove_hs())
+    inv = _initial_invariants(m)
+    n_inv = [inv[a] for a in range(5) if int(m.atomic_nums[a]) == 7]
+    assert n_inv[0] == n_inv[1]
+    ref = to_smiles(m)
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        assert to_smiles(m.renumber(list(rng.permutation(5)))) == ref
