@@ -25,7 +25,8 @@ from ..chem.canonical import canonical_ranks
 from ..chem.mol import Molecule
 from .fingerprints import morgan_fingerprint
 
-__all__ = ["ffd", "frechet_distance", "fingerprint_matrix", "identity_key"]
+__all__ = ["ffd", "frechet_distance", "fingerprint_matrix", "identity_key",
+           "inchi_analog_key"]
 
 _EPS = 1e-6
 
@@ -127,14 +128,77 @@ def identity_key(mol: Molecule) -> str:
     return atoms + "|" + ";".join(f"{a}-{b}:{o}" for a, b, o in bonds)
 
 
+def inchi_analog_key(mol: Molecule) -> str:
+    """InChI-analog identity: proton-normalised canonical SMILES + /p layer.
+
+    The reference's uniqueness/novelty protocol keys molecules by standard
+    InChI (``Chem.MolToInchi``, ``research_scripts/evaluation.py:12-42``).
+    InChI differs from a canonical-SMILES key chiefly through its proton
+    layer: removable protons are stripped from the structure and counted in
+    ``/p±n``, so different drawings of the same protomer system collapse to
+    one string (glycine's zwitterion and neutral form share an InChI; an
+    acid and its conjugate base differ ONLY in ``/p``). This function
+    reproduces that protonation handling on this pipeline's element set:
+
+    * anionic O/S/N sites with no positively charged neighbour (deprotonated
+      acids/amides — the neighbour guard keeps charge-separated groups like
+      nitro and N-oxide intact, as InChI does) are re-protonated to neutral
+      and counted in ``p``;
+    * cationic N/O/S/P sites carrying removable hydrogens under the valence
+      model (ammonium, pyridinium, ...) are deprotonated to neutral and
+      counted in ``p``; quaternary cations have no proton to remove and keep
+      their charge in the structure (InChI's ``/q`` layer analog).
+
+    What still diverges from real InChI — quantified in
+    ``tests/test_eval.py`` and documented in PARITY.md — is the mobile-H
+    (tautomer) layer: InChI merges e.g. 2-pyridone with 2-hydroxypyridine
+    and the two double-bond drawings of an amidinium ion; this key keeps
+    them distinct (so novelty counts here are a lower bound on InChI
+    novelty).
+    """
+    m = mol.remove_hs()
+    charges = m.charges.copy()
+    nbr_charge_pos = np.zeros(m.num_atoms, dtype=bool)
+    for i, j, _o in m.bonds:
+        if charges[j] > 0:
+            nbr_charge_pos[i] = True
+        if charges[i] > 0:
+            nbr_charge_pos[j] = True
+    # explicit valence under the 2x half-order model (aromatic counts 1.5)
+    v2 = np.zeros(m.num_atoms, dtype=np.int64)
+    for i, j, o in m.bonds:
+        w = 3 if o == 4 else 2 * o
+        v2[i] += w
+        v2[j] += w
+    p = 0
+    from ..chem.sanitize import _max_valence
+    for a in range(m.num_atoms):
+        z = int(m.atomic_nums[a])
+        chg = int(charges[a])
+        if chg < 0 and z in (7, 8, 16) and not nbr_charge_pos[a]:
+            p += chg           # species has |chg| fewer protons than neutral
+            charges[a] = 0
+        elif chg > 0 and z in (7, 8, 15, 16):
+            vceil = int(v2[a] + 1) // 2
+            h_avail = max(0, _max_valence(z, chg) - vceil)
+            removed = min(chg, h_avail)
+            p += removed       # deprotonate to neutral where H exists
+            charges[a] = chg - removed
+    m.charges = charges
+    base = identity_key(m)
+    return base + (f"/p{p:+d}" if p else "")
+
+
 def uniqueness(mols: Iterable[Molecule],
                corpus_keys: Iterable[str] = ()) -> dict:
     """Uniqueness stats (reference ``evaluation.py:12-42`` semantics).
 
     Returns unique_within_batch (distinct identities) and unique_vs_corpus
-    (molecules whose identity does not appear in ``corpus_keys``).
+    (molecules whose identity does not appear in ``corpus_keys``). Keys are
+    :func:`inchi_analog_key` — the reference counts both by InChI;
+    ``corpus_keys`` must be produced by the same function.
     """
-    keys: List[str] = [identity_key(m) for m in mols]
+    keys: List[str] = [inchi_analog_key(m) for m in mols]
     corpus = set(corpus_keys)
     distinct = set(keys)
     novel = sum(1 for k in keys if k not in corpus)

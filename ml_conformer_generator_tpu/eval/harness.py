@@ -21,7 +21,7 @@ from typing import Dict, Iterable, List, Optional, Sequence
 
 from ..chem.io import from_mol_block, write_sdf
 from ..chem.mol import Molecule
-from .frechet import identity_key
+from .frechet import inchi_analog_key
 from .pipeline import evaluate_samples
 
 __all__ = ["EvaluationReport", "run_evaluation", "format_report"]
@@ -78,9 +78,11 @@ def run_evaluation(generator, references: Sequence[Molecule],
     """Run the full pipeline over ``references`` and aggregate statistics.
 
     ``generator`` is an ``MLConformerGenerator`` (or API-compatible callable
-    object); ``corpus_keys`` an optional set of canonical identity keys
-    (``eval.frechet.identity_key``) for novelty-vs-training-set counting —
-    the analog of the reference's ChEMBL InChI list (``evaluation.py:44-46``).
+    object); ``corpus_keys`` an optional set of InChI-analog identity keys
+    (``eval.frechet.inchi_analog_key``) for novelty-vs-training-set counting —
+    the analog of the reference's ChEMBL InChI list (``evaluation.py:44-46``);
+    uniqueness-within-batch uses the same keys (the reference counts both by
+    InChI, ``evaluation.py:12-42``).
     """
     rep = EvaluationReport(n_references=len(references),
                            n_samples_per_reference=n_samples,
@@ -137,7 +139,7 @@ def run_evaluation(generator, references: Sequence[Molecule],
             if "validity" in e and e["n_requests"]:
                 e["validity"] /= e["n_requests"]
 
-    keys = [identity_key(m) for m in rep.samples]
+    keys = [inchi_analog_key(m) for m in rep.samples]
     rep.unique_within_batch = len(set(keys))
     corpus = set(corpus_keys)
     if corpus:

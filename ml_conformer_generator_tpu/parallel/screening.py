@@ -35,7 +35,7 @@ from ..chem.mol import Molecule
 from ..chem.standardize import standardize_batch
 from ..chem.bonds import redefine_bonds
 from ..eval.harness import EvaluationReport, _acc
-from ..eval.frechet import identity_key
+from ..eval.frechet import inchi_analog_key
 from ..eval.pipeline import evaluate_samples
 from ..ops.moi import get_context_shape
 from ..utils.masks import pad_to_bucket, prepare_edm_input
@@ -242,7 +242,7 @@ class ScreeningDriver:
                     e["shape_tanimoto"] /= e["n"]
                     e["chemical_tanimoto"] /= e["n"]
         rep.unique_within_batch = len(
-            {identity_key(m) for m in rep.samples})
+            {inchi_analog_key(m) for m in rep.samples})
         timer.count("requested", rep.n_requested)
         timer.count("valid", rep.n_valid)
         #: per-stage evidence of host/device overlap: with the depth-1

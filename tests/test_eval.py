@@ -123,3 +123,55 @@ def test_evaluate_samples_contract(rng):
     # near-perfect shape similarity.
     assert results[1]["chemical_tanimoto"] == pytest.approx(1.0)
     assert results[1]["shape_tanimoto"] > 0.95
+
+
+def test_inchi_analog_key_protonation_layer():
+    """VERDICT r3 item 7: novelty keys follow InChI's protonation handling
+    (reference keys by Chem.MolToInchi, evaluation.py:12-42)."""
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.eval.frechet import inchi_analog_key
+
+    def k(smi):
+        return inchi_analog_key(from_smiles(smi).remove_hs())
+
+    # different drawings of the same protomer system collapse (glycine
+    # zwitterion == neutral glycine; InChI: same string, no /p)
+    assert k("NCC(=O)O") == k("[NH3+]CC(=O)[O-]")
+    # acid vs conjugate base: same skeleton, differ ONLY in the /p layer
+    acid, base = k("CC(=O)O"), k("CC(=O)[O-]")
+    assert acid != base and base == acid + "/p-1"
+    # cation: pyridinium = pyridine /p+1
+    assert k("c1cc[nH+]cc1") == k("c1ccncc1") + "/p+1"
+    # sulfate dianion: /p-2
+    assert k("[O-]S(=O)(=O)[O-]") == k("OS(=O)(=O)O") + "/p-2"
+    # charge-separated groups InChI keeps intact: nitro untouched, no /p
+    nitro = k("C[N+](=O)[O-]")
+    assert "/p" not in nitro
+    # quaternary ammonium: no removable proton -> charge stays, no /p
+    quat = k("C[N+](C)(C)C")
+    assert "/p" not in quat and "+" in quat
+
+
+def test_inchi_analog_key_documented_tautomer_divergence():
+    """Documented divergence vs real InChI (PARITY.md): the mobile-H layer
+    is not reproduced — 2-pyridone and 2-hydroxypyridine stay distinct
+    (InChI merges them), so novelty counts are a lower bound."""
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.eval.frechet import inchi_analog_key
+
+    pyridone = inchi_analog_key(from_smiles("O=c1cccc[nH]1").remove_hs())
+    hydroxypyridine = inchi_analog_key(from_smiles("Oc1ccccn1").remove_hs())
+    assert pyridone != hydroxypyridine
+
+
+def test_uniqueness_uses_inchi_analog_keys():
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.eval.frechet import (inchi_analog_key,
+                                                         uniqueness)
+
+    mols = [from_smiles(s).remove_hs()
+            for s in ["NCC(=O)O", "[NH3+]CC(=O)[O-]", "CCO"]]
+    corpus = [inchi_analog_key(from_smiles("NCC(=O)O").remove_hs())]
+    u = uniqueness(mols, corpus)
+    assert u["unique_within_batch"] == 2      # glycine forms collapse
+    assert u["unique_vs_corpus"] == 1         # only ethanol is novel
