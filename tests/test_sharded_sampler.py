@@ -101,3 +101,38 @@ def test_sharded_generate_data_axis_independent_streams():
     assert np.isfinite(x).all()
     # batch rows live on different data shards -> distinct samples
     assert np.abs(x[0] - x[1]).max() > 1e-3
+
+
+def test_sharded_inpaint_and_merge_production_width():
+    """VERDICT r3 item 5: the sharded fragment workflows must also run at
+    PRODUCTION shapes (hidden 420, 9 blocks, 42 nodes) — a sharding rule
+    that only breaks at real widths would pass every toy test. Few steps,
+    small batch: finiteness smoke, on the (4 data x 2 edge) mesh."""
+    cfg = EGNNConfig()                    # 420 x 9
+    diff = DiffusionConfig(timesteps=2)
+    mesh = make_mesh((4, 2))
+    params = init_egnn_params(jax.random.PRNGKey(0), cfg)
+    gamma = jnp.asarray(gamma_schedule(diff.timesteps))
+    B, N = 4, 42
+    node_mask, edge_mask = prepare_masks(
+        jnp.asarray(np.random.default_rng(1).integers(30, 40, size=B)), N)
+    ctx = jnp.zeros((B, N, 3)) * node_mask
+    rng = np.random.default_rng(2)
+    z_known = jnp.asarray(
+        np.concatenate([rng.standard_normal((B, N, 3)),
+                        np.eye(8)[rng.integers(0, 8, (B, N))]], axis=-1),
+        dtype=jnp.float32) * node_mask
+    fixed = (jnp.arange(N)[None, :, None] < 12).astype(jnp.float32) \
+        * node_mask
+
+    fn = make_sharded_inpaint(mesh, cfg, diff, resample_steps=1)
+    x, h = fn(params, jax.random.PRNGKey(5), gamma, node_mask, edge_mask,
+              ctx, z_known, fixed)
+    assert np.isfinite(np.asarray(x)).all()
+    assert x.shape == (B, N, 3) and h.shape[:2] == (B, N)
+
+    fn = make_sharded_merge(mesh, cfg, diff, diffusion_level=1,
+                            resample_steps=1)
+    x, h = fn(params, jax.random.PRNGKey(6), gamma, node_mask, edge_mask,
+              fixed, ctx, z_known)
+    assert np.isfinite(np.asarray(x)).all()
