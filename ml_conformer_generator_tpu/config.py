@@ -89,6 +89,13 @@ class EGNNConfig:
     #: kernel path pays extra glue around the custom call) — measurements in
     #: ops/gcl_kernel.py.
     use_pallas: str = "off"
+    #: Rematerialise each block in the backward pass (jax.checkpoint on the
+    #: scan body). Off for inference (no backward); training at production
+    #: width REQUIRES it on one chip: without remat the backward stores every
+    #: block's (B, N, N, hidden) edge activations — 9 x ~0.9 GB at B=32 —
+    #: and OOMs 16 GB HBM; with remat only the per-block (h, x) carries are
+    #: saved and the edge MLPs are recomputed (~1.3x training FLOPs).
+    remat: bool = False
 
     @property
     def total_node_nf(self) -> int:

@@ -300,6 +300,11 @@ def egnn_forward(params: Params, h: jnp.ndarray, x: jnp.ndarray,
         h, x = block_forward(block_params, h, x, d0, node_mask, edge_mask, cfg)
         return (h, x), None
 
+    if cfg.remat:
+        # training-only (config.py EGNNConfig.remat): save the per-block
+        # (h, x) carries, recompute the (B, N, N, hidden) edge activations
+        # in the backward pass instead of storing 9 of them
+        body = jax.checkpoint(body, prevent_cse=False)
     (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
     h = _linear(params["embedding_out"], h)
     h = h * node_mask

@@ -1,3 +1,4 @@
+from .bonds import bond_training_batch, train_adj_mat_seer
 from .data import MoleculeDataset, batches, prefetch
 from .loop import train
 from .loss import edm_training_loss

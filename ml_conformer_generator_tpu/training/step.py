@@ -31,9 +31,16 @@ def make_train_step(mesh: Mesh, egnn_cfg: EGNNConfig,
     x (B,N,3), h (B,N,F), node_mask (B,N,1), edge_mask (B,N,N,1),
     context (B,N,C); B must divide the data-axis size and N the edge-axis
     size.
+
+    Per-block rematerialisation is forced on (``EGNNConfig.remat``): the
+    un-remat backward stores 9 x (B, N, N, hidden) edge activations and
+    OOMs a 16 GB chip at production width already at B=32.
     """
     if optimizer is None:
         optimizer = make_optimizer()
+    if not egnn_cfg.remat:
+        import dataclasses
+        egnn_cfg = dataclasses.replace(egnn_cfg, remat=True)
 
     n_edge = mesh.shape["edge"]
     n_data = mesh.shape["data"]

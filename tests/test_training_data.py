@@ -84,3 +84,43 @@ def test_train_loop_learns(rng):
     early, late = np.mean(hist[:5]), np.mean(hist[-5:])
     assert np.isfinite(late)
     assert late < 0.7 * early, f"no learning: {early:.3f} -> {late:.3f}"
+
+
+def test_adj_mat_seer_training_overfits_bonds():
+    """training/bonds.py: cross-entropy drops and the trained predictor
+    reproduces the true bond orders of a tiny molecule set (the stack used
+    by scripts/train_overfit_validity.py -> VALIDITY.json)."""
+    import numpy as np
+
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.config import AdjMatSeerConfig
+    from ml_conformer_generator_tpu.training.bonds import (
+        bond_training_batch, train_adj_mat_seer)
+
+    mols = []
+    for smi in ["CC(=O)O", "C1CCCCC1", "N#CC=C"]:
+        m = from_smiles(smi).remove_hs()
+        # bond training featurises from geometry; give atoms distinct coords
+        rng = np.random.default_rng(len(mols))
+        m.coords = rng.normal(scale=2.0, size=(m.num_atoms, 3))
+        mols.append(m)
+    cfg = AdjMatSeerConfig(n_hidden=64)
+    out = train_adj_mat_seer(mols, steps=150, lr=3e-3, cfg=cfg, seed=0,
+                             log_every=150, log_fn=lambda s: None)
+    assert out["history"][-1]["loss"] < 0.1
+
+    import jax.numpy as jnp
+
+    from ml_conformer_generator_tpu.models.adj_mat_seer import \
+        adj_mat_seer_forward
+
+    batch = bond_training_batch(mols, cfg)
+    logits = adj_mat_seer_forward(out["params"],
+                                  jnp.asarray(batch["elements"]),
+                                  jnp.asarray(batch["dist"]),
+                                  jnp.asarray(batch["adj"]), cfg)
+    pred = np.argmax(np.asarray(logits), axis=-1)
+    true = np.argmax(batch["target"], axis=-1)
+    m = batch["pair_mask"] > 0
+    acc = (pred[m] == true[m]).mean()
+    assert acc > 0.97, acc
