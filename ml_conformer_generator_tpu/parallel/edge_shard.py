@@ -114,6 +114,12 @@ def egnn_forward_sharded(params: Params, h, x, node_mask, edge_mask_l,
         h = h * node_mask
         return (h, x), None
 
+    if cfg.remat:
+        # training-only (config.py EGNNConfig.remat): without this the
+        # backward saves 9 x (B, N, N_local, hidden) edge activations per
+        # scan — 19.8 GB at production width/B=32 on one chip (measured
+        # OOM); with it only the per-block (h, x) carries persist.
+        body = jax.checkpoint(body, prevent_cse=False)
     (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
     h = _linear(params["embedding_out"], h) * node_mask
     return h, x
