@@ -88,3 +88,23 @@ def test_screen_iter_streams_per_reference(driver):
         seen.append(ref)
     assert len(seen) == 2
     assert "dispatch_s" in driver.last_metrics
+
+
+def test_bench_protocol_refs_span_protocol_sizes():
+    """bench.py's synthetic e2e references must replay the screen protocol's
+    size distribution (15-39 heavy atoms, same seed as the device-only
+    phase) and be consumable by the screening driver's featurisation."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import make_protocol_refs
+
+    from ml_conformer_generator_tpu.ops.moi import get_context_shape
+
+    refs = make_protocol_refs(25)
+    sizes = [r.num_atoms for r in refs]
+    assert min(sizes) >= 15 and max(sizes) <= 39
+    assert len(set(sizes)) > 5            # spread, not one size
+    for r in refs[:3]:
+        ctx, _ = get_context_shape(r.coords - r.coords.mean(axis=0))
+        import numpy as np
+        assert np.isfinite(np.asarray(ctx)).all()
