@@ -84,10 +84,14 @@ def main():
     history = {}
     if not (args.skip_train and os.path.exists(edm_path)):
         # replicate the tiny set so the epoch loop yields full batches
-        reps = max(1, (args.batch * args.edm_steps) // max(len(mols), 1) + 1)
+        # (cap the replica count — featurisation cost, not data volume —
+        # and run multiple epochs to reach the step budget)
+        target_epoch_steps = min(args.edm_steps, 200)
+        reps = max(1, (args.batch * target_epoch_steps)
+                   // max(len(mols), 1) + 1)
         big = MoleculeDataset(mols * reps)
         steps_per_epoch = len(big) // args.batch
-        epochs = max(1, args.edm_steps // max(steps_per_epoch, 1))
+        epochs = max(1, -(-args.edm_steps // max(steps_per_epoch, 1)))
         out = train(big, egnn_cfg=egnn_cfg,
                     diff_cfg=DiffusionConfig(),   # T=1000 training schedule
                     batch_size=args.batch, epochs=epochs, lr=args.lr,
