@@ -60,6 +60,9 @@ REFERENCE_VALIDITY = 0.48                  # README.md:115
 T0 = time.perf_counter()
 
 
+_LAST_NOTE = ["start"]
+
+
 def note(msg: str) -> None:
     """Timestamped phase log on stderr (stdout stays one JSON line).
 
@@ -68,8 +71,25 @@ def note(msg: str) -> None:
     repeat now stamps elapsed wall-clock — a tunnel stall mid-run becomes a
     visible gap between two stamps instead of a mystery.
     """
+    _LAST_NOTE[0] = msg
     print(f"[bench t={time.perf_counter() - T0:6.1f}s] {msg}",
           file=sys.stderr, flush=True)
+
+
+def _start_watchdog(period_s: float = 120.0) -> None:
+    """Heartbeat thread: this machine's TPU tunnel can wedge a process at a
+    compile/dispatch indefinitely (dev notes in CLAUDE.md); if that happens
+    mid-bench the artifact should still show WHERE it hung."""
+    import threading
+
+    def beat():
+        while True:
+            time.sleep(period_s)
+            print(f"[bench t={time.perf_counter() - T0:6.1f}s] watchdog: "
+                  f"alive; last event: {_LAST_NOTE[0]}",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
 
 
 def make_protocol_refs(n_requests: int, seed: int = 0):
@@ -242,6 +262,7 @@ def main() -> None:
                          "remote compiles when the backend supports "
                          "executable serialization")
     args = ap.parse_args()
+    _start_watchdog()
 
     if args.cache_dir:
         # Harmless if the PJRT plugin cannot serialize executables (cache
