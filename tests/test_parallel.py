@@ -125,3 +125,39 @@ def test_edm_input_device_matches_eager():
                                CONTEXT_NORMS)
     ctx2 = jnp.broadcast_to(normed.reshape(1, 1, 3), (6, 24, 3)) * nm2
     np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx2), rtol=1e-7)
+
+
+def test_remat_flag_preserves_forward_and_gradients():
+    """EGNNConfig.remat must be a pure memory/schedule choice: forward
+    values are identical and gradients agree to float32 roundoff with the
+    flag on and off (remat recomputes the forward inside the backward, so
+    fusion/reassociation may differ by ulps; dense path — the sharded path
+    shares the same jax.checkpoint wiring)."""
+    import dataclasses
+
+    from ml_conformer_generator_tpu.models.egnn import (egnn_forward,
+                                                        init_egnn_params)
+    from ml_conformer_generator_tpu.utils.masks import prepare_masks
+
+    cfg = EGNNConfig(hidden_nf=16, n_blocks=3)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = init_egnn_params(jax.random.PRNGKey(0), cfg)
+    B, N = 2, 8
+    rng = np.random.default_rng(0)
+    node_mask, edge_mask = prepare_masks(jnp.asarray([6, 8]), N)
+    h = jnp.asarray(rng.standard_normal((B, N, cfg.total_node_nf)),
+                    dtype=jnp.float32) * node_mask
+    x = jnp.asarray(rng.standard_normal((B, N, 3)),
+                    dtype=jnp.float32) * node_mask
+
+    def loss(p, c):
+        ho, xo = egnn_forward(p, h, x, node_mask, edge_mask, c)
+        return (ho ** 2).sum() + (xo ** 2).sum()
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
+    assert float(v0) == float(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
