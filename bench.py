@@ -460,6 +460,13 @@ def main() -> None:
                 e2e_gen, e2e_driver, refs, args.batch, args.variance,
                 deadline=0.85 * args.time_budget)
             note("phase 3 done")
+        if e2e_gen is not None:
+            # free the e2e pipeline's params + per-bucket executables before
+            # refinement compiles up to ~23 more exact-size programs (the
+            # phase-1 sampler state must stay — phase 4 reuses it)
+            import gc
+            del e2e_gen, e2e_driver
+            gc.collect()
 
     # -- Phase 4: padding refinement. The bucketed node axis wastes O(N^2)
     # edge work on padded rows (PERF.md); exact-size programs are ~17%
@@ -493,7 +500,8 @@ def main() -> None:
         else:
             note("phase 4 aborted: compile deadline")
             out["padding"] = {"refine": "aborted (compile deadline)"}
-    elif args.workload == "screen" and args.refine_bucket:
+    elif args.workload == "screen" and args.refine_bucket \
+            and args.refine_bucket < args.bucket:
         out["padding"] = {"refine": f"skipped ({remaining():.0f}s remaining)"}
     note("printing result")
     print(json.dumps(out))

@@ -40,10 +40,16 @@ def _build() -> bool:
     if not os.path.exists(_SRC_PATH):
         return False
     try:
+        # Build to a temp file and rename: _LIB_PATH may be dlopen'ed by
+        # this or a concurrently running process, and having the linker
+        # truncate a mapped .so in place SIGBUSes those processes. rename
+        # is atomic and leaves the old inode mapped until they exit.
+        tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o",
-             _LIB_PATH, _SRC_PATH, "-lpthread"],
+             tmp, _SRC_PATH, "-lpthread"],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
         return False

@@ -207,7 +207,12 @@ class ScreeningDriver:
         long screens this lets callers write results to disk incrementally
         instead of holding the whole campaign in memory (the reference's
         protocol only reports after the full run,
-        ``research_scripts/evaluation.py:198-268``)."""
+        ``research_scripts/evaluation.py:198-268``).
+
+        ``reference`` is the caller's own object (hydrogens and all);
+        screening itself runs on ``reference.remove_hs()``, so size/variance
+        stats comparable to :meth:`screen`'s by-ref-size buckets should use
+        the heavy-atom count ``reference.remove_hs().num_atoms``."""
         from collections import deque
 
         timer = StageTimer()

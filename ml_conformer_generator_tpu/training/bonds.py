@@ -23,7 +23,6 @@ import optax
 from ..chem.canonical import smiles_output_order
 from ..chem.featurize import prepare_adj_mat_seer_input
 from ..chem.mol import Molecule
-from ..chem.molgraph import MolGraph
 from ..chem.perception import determine_connectivity
 from ..config import AdjMatSeerConfig
 from ..models.adj_mat_seer import (adj_mat_seer_forward,
@@ -47,13 +46,16 @@ def bond_training_batch(mols: Sequence[Molecule],
     D = cfg.dimension
     target = np.zeros((len(heavy), D, D, cfg.num_bond_types),
                       dtype=np.float32)
+    target[..., 0] = 1.0                      # default: "no bond" channel
     pair_mask = np.zeros((len(heavy), D, D), dtype=np.float32)
     for b, m in enumerate(heavy):
         # the same order the input featurisation used (single-bond graph)
         order = smiles_output_order(determine_connectivity(m))
         true_canon = m.renumber(order)
-        target[b] = MolGraph.from_molecule(true_canon,
-                                           remove_hs=False).adjacency_matrix()
+        for i, j, o in true_canon.bonds:
+            t = min(int(o), cfg.num_bond_types - 1)
+            target[b, i, j, 0] = target[b, j, i, 0] = 0.0
+            target[b, i, j, t] = target[b, j, i, t] = 1.0
         n = m.num_atoms
         pair_mask[b, :n, :n] = 1.0 - np.eye(n, dtype=np.float32)
     return {"elements": elements, "dist": dist, "adj": adj,

@@ -106,3 +106,45 @@ def test_find_rings_matches_python(rng):
             del os.environ["MLCG_TPU_NO_NATIVE"]
             native._lib, native._tried = None, False
         assert {frozenset(r) for r in got} == {frozenset(r) for r in want}
+
+
+def test_canonical_ranks_match_python_aromatic_and_charged(rng):
+    """r4 review regression: the random-graph cross-check never hits the
+    aromatic (order 4) valence weighting, the charge-adjusted max-valence
+    rule, or the attached-H branches of the v2 invariants — exercise them
+    with real aromatic/charged molecules AND random graphs carrying order-4
+    bonds and nonzero charges (native/chemhost.cpp must stay bit-identical
+    to chem/canonical.py on every branch)."""
+    from ml_conformer_generator_tpu.chem import canonical, from_smiles
+    from ml_conformer_generator_tpu.chem.sanitize import aromatize
+
+    def py_ranks(mol):
+        native._lib, native._tried = None, False
+        os.environ["MLCG_TPU_NO_NATIVE"] = "1"
+        try:
+            return canonical.canonical_ranks(mol)
+        finally:
+            del os.environ["MLCG_TPU_NO_NATIVE"]
+            native._lib, native._tried = None, False
+
+    mols = [aromatize(from_smiles(s).remove_hs()) for s in [
+        "c1ccccc1C(=O)[O-]",            # aromatic + carboxylate anion
+        "C[N+](C)(C)Cc1ccccc1",         # quaternary cation
+        "c1cc[nH+]cc1",                 # protonated aromatic N
+        "c1cc[se]c1",                   # Se lone-pair aromatic
+        "C[N+](=O)[O-]",                # charge-separated nitro
+        "[O-]S(=O)(=O)[O-]",            # -2 net, S(VI)
+        "Oc1ccc(cc1)C(=O)Nc1ccncc1",    # fused H-count diversity
+    ]]
+    for _ in range(6):
+        m = _random_mol(rng, n=int(rng.integers(5, 24)))
+        m.bonds = [(i, j, 4 if rng.random() < 0.3 else o)
+                   for i, j, o in m.bonds]
+        ch = m.charges.copy()
+        for a in rng.choice(m.num_atoms, size=2, replace=False):
+            ch[a] = int(rng.integers(-1, 2))
+        m.charges = ch
+        mols.append(m)
+    for mol in mols:
+        got = native.canonical_ranks(mol.atomic_nums, mol.charges, mol.bonds)
+        np.testing.assert_array_equal(got, py_ranks(mol))
