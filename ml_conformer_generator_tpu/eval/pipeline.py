@@ -43,12 +43,25 @@ def evaluate_samples(reference: Molecule, samples: List[Molecule],
         return ref_mol_block, []
 
     # Host: principal frames (vectorised clique enumeration per sample).
+    # Degenerate geometries (coincident atoms from an undertrained sampler)
+    # can make the quadrupole eigendecomposition fail or go non-finite; such
+    # samples keep their centred coordinates and score 0 instead of killing
+    # the whole screen (the reference's per-sample loop would raise too —
+    # robustness deviation, not a scoring change for valid geometry).
     stripped = [s.remove_hs() for s in samples]
     frames = []
-    for s in stripped:
+    degenerate = np.zeros(len(stripped), dtype=bool)
+    for k, s in enumerate(stripped):
         c = s.coords - s.coords.mean(axis=0)
-        _, frame = shape_quadrupole(c)
-        frames.append(np.asarray(frame))
+        try:
+            _, frame = shape_quadrupole(c)
+            frame = np.asarray(frame)
+            if not np.isfinite(frame).all():
+                raise np.linalg.LinAlgError("non-finite frame")
+        except np.linalg.LinAlgError:
+            frame = np.asarray(c)
+            degenerate[k] = True
+        frames.append(frame)
 
     # Device: one batched Tanimoto over samples x 4 orientations.
     n_max = max(f.shape[0] for f in frames)
@@ -71,7 +84,8 @@ def evaluate_samples(reference: Molecule, samples: List[Molecule],
         aligned.coords = frames[k] * FLIP_SIGNS[best_flip[k]][None, :]
         results.append({
             "mol_block": to_mol_block(aligned),
-            "shape_tanimoto": float(scores[k, best_flip[k]]),
+            "shape_tanimoto": (0.0 if degenerate[k]
+                               else float(scores[k, best_flip[k]])),
             "chemical_tanimoto": tanimoto(fp_ref, morgan_fingerprint(s)),
         })
     return ref_mol_block, results

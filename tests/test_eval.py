@@ -175,3 +175,25 @@ def test_uniqueness_uses_inchi_analog_keys():
     u = uniqueness(mols, corpus)
     assert u["unique_within_batch"] == 2      # glycine forms collapse
     assert u["unique_vs_corpus"] == 1         # only ethanol is novel
+
+
+def test_evaluate_samples_survives_degenerate_geometry():
+    """r4 regression: a degenerate sample (coincident atoms -> quadrupole
+    eigh failure) must not kill the whole scoring batch; it scores 0."""
+    import numpy as np
+
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.chem.mol import Molecule
+    from ml_conformer_generator_tpu.eval.pipeline import evaluate_samples
+
+    ref = from_smiles("CCO").remove_hs()
+    ref.coords = np.array([[0.0, 0, 0], [1.5, 0, 0], [2.3, 1.1, 0]])
+    good = ref.copy()
+    # exploded coordinates (an undertrained sampler emits 1e20-scale
+    # positions): quadrupole moments overflow -> eigh diverges
+    bad = Molecule(np.array([6, 6, 6]),
+                   np.array([[1e20, 0, 0], [0, 1e20, 0], [np.nan, 0, 0]]))
+    _, scored = evaluate_samples(ref, [good, bad])
+    assert len(scored) == 2
+    assert scored[0]["shape_tanimoto"] > 0.5
+    assert scored[1]["shape_tanimoto"] == 0.0
