@@ -182,15 +182,29 @@ def from_pdb_block(block: str) -> Molecule:
 
 
 def read_sdf(text: str) -> List[Molecule]:
-    mols = []
-    for chunk in text.split("$$$$"):
-        chunk = chunk.strip("\n ")
-        if not chunk:
-            continue
+    # Split on '$$$$' separator LINES, never stripping leading blank lines
+    # from a record: the molblock's 4-line header (name/program/comment/
+    # counts) legitimately starts with a blank line when the molecule is
+    # unnamed, and eating it shifts the counts line (round-trip bug with
+    # write_sdf output).
+    mols: List[Molecule] = []
+    record: List[str] = []
+
+    def flush():
+        if not any(line.strip() for line in record):
+            return
+        chunk = "\n".join(record)
         end = chunk.find("M  END")
-        if end == -1:
-            continue
-        mols.append(from_mol_block(chunk[: end + len("M  END")]))
+        if end != -1:
+            mols.append(from_mol_block(chunk[: end + len("M  END")]))
+
+    for line in text.splitlines():
+        if line.strip() == "$$$$":
+            flush()
+            record = []
+        else:
+            record.append(line)
+    flush()
     return mols
 
 

@@ -353,3 +353,19 @@ def test_canonical_ranks_documented_imidazole_divergence():
     rng = np.random.default_rng(7)
     for _ in range(6):
         assert to_smiles(m.renumber(list(rng.permutation(5)))) == ref
+
+
+def test_sdf_roundtrip_unnamed_molecules():
+    """r4 regression: read_sdf must not eat the blank name/comment header
+    lines of unnamed records (write_sdf output round-trips)."""
+    from ml_conformer_generator_tpu.chem.io import read_sdf, write_sdf
+
+    a = Molecule(np.array([6, 8]), np.array([[0.0, 0, 0], [1.4, 0, 0]]),
+                 bonds=[(0, 1, 1)])          # no name
+    b = Molecule(np.array([7, 6, 6]),
+                 np.array([[0.0, 0, 0], [1.4, 0, 0], [2.1, 1.2, 0]]),
+                 bonds=[(0, 1, 1), (1, 2, 2)], name="named")
+    out = read_sdf(write_sdf([a, b, a]))
+    assert [m.num_atoms for m in out] == [2, 3, 2]
+    assert out[1].name == "named"
+    assert [tuple(x) for x in out[2].bonds] == [(0, 1, 1)]
