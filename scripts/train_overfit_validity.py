@@ -141,6 +141,7 @@ def main():
             "n_samples": args.samples,
             "n_valid": len(valid),
             "validity": round(len(valid) / args.samples, 4),
+            "unique_within_valid": len(set(keys)),
             "n_matching_training_molecule":
                 sum(1 for k in keys if k in train_keys),
             # size distribution of the survivors: guards against counting
