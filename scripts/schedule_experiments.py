@@ -41,15 +41,30 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--workload", default="forward",
+                    choices=["forward", "sampler"],
+                    help="'forward': one denoiser forward, scan-amortized; "
+                         "'sampler': the full 100-step generate program "
+                         "(includes per-step RNG + elementwise updates)")
+    ap.add_argument("--steps", type=int, default=100,
+                    help="sampler workload: diffusion steps")
+    ap.add_argument("--rng", default=None, choices=["threefry2x32", "rbg"],
+                    help="override jax_default_prng_impl (rbg is much "
+                         "cheaper on TPU; affects the sampler workload's "
+                         "per-step noise draws)")
     args = ap.parse_args()
 
     import sys
     sys.path.insert(0, "/root/repo")
     import jax
+
+    if args.rng:
+        jax.config.update("jax_default_prng_impl", args.rng)
+
     import jax.numpy as jnp
     import numpy as np
 
-    from ml_conformer_generator_tpu.config import EGNNConfig
+    from ml_conformer_generator_tpu.config import DiffusionConfig, EGNNConfig
     from ml_conformer_generator_tpu.models.egnn import (dynamics_forward,
                                                         init_egnn_params)
     from ml_conformer_generator_tpu.utils.masks import prepare_masks
@@ -66,16 +81,33 @@ def main():
                       dtype=jnp.float32) * node_mask
     t = jnp.full((B,), 0.5, dtype=jnp.float32)
 
-    def run(xh):
-        def body(carry, _):
-            out = dynamics_forward(params, t, carry, node_mask, edge_mask,
-                                   ctx, cfg)
-            # feed a slice of the output back so iterations are dependent
-            return carry + 1e-6 * out[..., :11], None
-        out, _ = jax.lax.scan(body, xh, None, length=LOOPS)
-        return out
+    if args.workload == "sampler":
+        from ml_conformer_generator_tpu.diffusion.edm import EDMSampler
+        from ml_conformer_generator_tpu.diffusion.schedule import \
+            gamma_schedule
 
-    lowered = jax.jit(run).lower(xh)
+        sampler = EDMSampler(cfg, DiffusionConfig(timesteps=args.steps))
+        gamma = jnp.asarray(gamma_schedule(args.steps))
+        LOOPS = 1          # the T-step scan is already dispatch-amortized
+
+        def run(key):
+            return sampler.generate(params, key, gamma, node_mask,
+                                    edge_mask, ctx)
+
+        example = jax.random.PRNGKey(7)
+    else:
+        def run(xh):
+            def body(carry, _):
+                out = dynamics_forward(params, t, carry, node_mask,
+                                       edge_mask, ctx, cfg)
+                # feed a slice of the output back: iterations stay dependent
+                return carry + 1e-6 * out[..., :11], None
+            out, _ = jax.lax.scan(body, xh, None, length=LOOPS)
+            return out
+
+        example = xh
+
+    lowered = jax.jit(run).lower(example)
     results = {}
     names = (args.configs.split(",") if args.configs else list(CONFIGS))
     for name in names:
@@ -84,9 +116,9 @@ def main():
             t0 = time.perf_counter()
             exe = lowered.compile(compiler_options=opts or None)
             compile_s = time.perf_counter() - t0
-            jax.block_until_ready(exe(xh))      # warm
+            jax.block_until_ready(exe(example))      # warm
             t0 = time.perf_counter()
-            jax.block_until_ready(exe(xh))
+            jax.block_until_ready(exe(example))
             ms = (time.perf_counter() - t0) / LOOPS * 1e3
             results[name] = round(ms, 3)
             print(f"{name:14s} {ms:7.2f} ms/forward  "
