@@ -83,10 +83,22 @@ def test_screen_iter_streams_per_reference(driver):
             read_mol_file(CEYYAG).remove_hs()]
     seen = []
     for ref, valid in driver.screen_iter(refs, n_samples=8, variance=1):
-        assert ref.num_atoms == refs[0].num_atoms
+        # advisor r3: the stream yields the caller's own reference object
+        assert any(ref is r for r in refs)
         assert isinstance(valid, list)
         seen.append(ref)
     assert len(seen) == 2
+    assert "dispatch_s" in driver.last_metrics
+
+
+def test_screen_iter_early_break_updates_metrics(driver):
+    """advisor r3: a caller that breaks out of the stream early must still
+    see THIS run's partial stage metrics, not a stale summary."""
+    refs = [read_mol_file(CEYYAG)] * 3
+    driver.last_metrics = {"stale": True}
+    for ref, valid in driver.screen_iter(refs, n_samples=4, variance=1):
+        break
+    assert "stale" not in driver.last_metrics
     assert "dispatch_s" in driver.last_metrics
 
 
