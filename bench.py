@@ -76,6 +76,85 @@ def note(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def acquire_backend(time_budget_s: float,
+                    min_reserve_s: float = 300.0,
+                    retry_rest_s: float = 90.0):
+    """Backend-acquisition loop: the CLAUDE.md outage-recovery recipe, in code.
+
+    This machine's TPU backend (a remote tunnel) fails two ways: (a) backend
+    init *raises* (BENCH_r04.json died in the first 5 s of a 900 s budget this
+    way), or (b) init/first-dispatch *hangs* indefinitely (the round-4 wedge).
+    Both are usually transient — the documented recovery is "rest 1-6 min and
+    retry". So: run init + a tiny real dispatch in a daemon thread; on an
+    exception the thread clears cached backend state, rests, and retries; on a
+    hang the main thread simply keeps waiting on the same in-flight attempt
+    (the tunnel relay is a dumb pipe — a stalled dispatch completes when the
+    remote side recovers). Give up only when less than ``min_reserve_s`` of
+    the budget remains, returning the attempt log so a failed artifact is
+    still diagnosable (instead of a bare stack trace like BENCH_r04.json).
+
+    Returns (platform_name | None, attempts_log).
+    """
+    import threading
+
+    state = {"platform": None, "done": False}
+    attempts: list = []
+
+    def _try_forever() -> None:
+        while not state["done"]:
+            t0 = time.perf_counter()
+            try:
+                import jax
+                import jax.numpy as jnp
+                dev = jax.devices()[0]
+                # jax.devices() can succeed while real dispatches hang
+                # (dev-notes wedge pattern) — probe an actual compiled op.
+                x = jnp.ones((128, 128))
+                jax.block_until_ready(x @ x)
+                attempts.append({
+                    "t_s": round(time.perf_counter() - T0, 1), "ok": True,
+                    "probe_s": round(time.perf_counter() - t0, 1)})
+                state["platform"] = dev.platform
+                state["done"] = True
+                return
+            except Exception as exc:  # noqa: BLE001 — log + retry is the point
+                attempts.append({
+                    "t_s": round(time.perf_counter() - T0, 1), "ok": False,
+                    "probe_s": round(time.perf_counter() - t0, 1),
+                    "error": f"{type(exc).__name__}: {exc}"[:400]})
+                note(f"backend probe FAILED "
+                     f"({attempts[-1]['probe_s']:.0f}s): "
+                     f"{attempts[-1]['error'].splitlines()[0][:120]}")
+                try:
+                    # drop any cached failed-backend state so the retry
+                    # re-runs platform init instead of replaying the failure
+                    from jax.extend.backend import clear_backends
+                    clear_backends()
+                except Exception:  # noqa: BLE001
+                    pass
+                time.sleep(retry_rest_s)
+
+    worker = threading.Thread(target=_try_forever, daemon=True)
+    worker.start()
+    next_log = 60.0
+    while True:
+        left = time_budget_s - (time.perf_counter() - T0)
+        worker.join(timeout=5.0)
+        if state["done"]:
+            note(f"backend up: {state['platform']} "
+                 f"(acquired after {len(attempts)} attempt(s))")
+            return state["platform"], attempts
+        if left < min_reserve_s:
+            note(f"backend unavailable after {len(attempts)} failed "
+                 f"attempt(s) and {time.perf_counter() - T0:.0f}s waiting; "
+                 f"{left:.0f}s budget left — giving up")
+            return None, attempts
+        if time.perf_counter() - T0 > next_log:
+            note(f"still acquiring backend ({len(attempts)} failed "
+                 f"attempt(s) so far, {left:.0f}s budget left)")
+            next_log += 60.0
+
+
 def _start_watchdog(period_s: float = 120.0) -> None:
     """Heartbeat thread: this machine's TPU tunnel can wedge a process at a
     compile/dispatch indefinitely (dev notes in CLAUDE.md); if that happens
@@ -264,6 +343,18 @@ def main() -> None:
     args = ap.parse_args()
     _start_watchdog()
 
+    platform, probe_log = acquire_backend(args.time_budget)
+    if platform is None:
+        # Still ONE parseable JSON line: a failed artifact must say it was
+        # environmental (BENCH_r04.json was a bare backend-init stack trace).
+        print(json.dumps({
+            "metric": "edm_samples_per_s", "value": None, "unit": "samples/s",
+            "vs_baseline": None, "error": "backend_unavailable",
+            "probe_log": probe_log,
+            "budget_s": args.time_budget,
+        }))
+        return
+
     if args.cache_dir:
         # Harmless if the PJRT plugin cannot serialize executables (cache
         # writes are then skipped).
@@ -291,7 +382,7 @@ def main() -> None:
         note(f"e2e workload start ({args.e2e_refs} references)")
         gen, driver, refs = build_e2e(args.e2e_refs)
         e2e = measure_e2e(gen, driver, refs, args.batch, args.variance)
-        print(json.dumps({
+        res = {
             "metric": "e2e_valid_mol_per_s",
             "value": e2e["valid_mol_per_s"],
             "unit": "valid mol/s (full generate_conformers pipeline, "
@@ -299,7 +390,10 @@ def main() -> None:
             "vs_baseline": round(
                 e2e["valid_mol_per_s"] / REFERENCE_VALID_MOL_PER_S, 3),
             "e2e": e2e,
-        }))
+        }
+        if len(probe_log) > 1:
+            res["backend_probe_log"] = probe_log
+        print(json.dumps(res))
         return
 
     import jax
@@ -315,8 +409,7 @@ def main() -> None:
     from ml_conformer_generator_tpu.models.egnn import init_egnn_params
     from ml_conformer_generator_tpu.utils.masks import prepare_edm_input
 
-    dev = jax.devices()[0]
-    note(f"backend up: {dev.platform}")
+    dev = jax.devices()[0]  # acquire_backend already verified this works
     egnn_kw = {"compute_dtype": args.dtype}
     if args.pallas is not None:
         egnn_kw["use_pallas"] = args.pallas
@@ -437,6 +530,8 @@ def main() -> None:
                 f"{dev.platform})",
         "vs_baseline": round(samples_per_s / REFERENCE_RAW_SAMPLES_PER_S, 3),
     }
+    if len(probe_log) > 1:
+        out["backend_probe_log"] = probe_log
 
     # -- Phases 2+3: e2e BEFORE exact-size refinement, so the end-to-end
     # figures can never be starved by refinement compiles (round-3 failure
