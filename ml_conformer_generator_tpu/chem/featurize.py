@@ -13,7 +13,7 @@ import numpy as np
 
 from ..config import ATOM_DECODER, DIMENSION
 from . import periodic
-from .canonical import canonicalise, smiles_output_order
+from .canonical import smiles_output_order
 from .mol import Molecule
 
 
@@ -37,13 +37,17 @@ def samples_to_molecules(positions: np.ndarray, one_hot: np.ndarray,
 
 
 def prepare_adj_mat_seer_input(mols: List[Molecule],
-                               dimension: int = DIMENSION
-                               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                          List[Molecule]]:
+                               dimension: int = DIMENSION,
+                               return_orders: bool = False
+                               ) -> Tuple[np.ndarray, ...]:
     """Canonicalise + featurise raw samples for the bond predictor (:146-194).
 
     Returns (elements (B, D) int, dist_mat (B, D, D) + I,
-    binary adjacency (B, D, D) + I, canonicalised molecules).
+    binary adjacency (B, D, D) + I, canonicalised molecules); with
+    ``return_orders`` also the per-molecule canonical permutation actually
+    applied, so callers that need to renumber OTHER per-molecule data (e.g.
+    true-bond training targets) use the identical order instead of
+    recomputing it through a possibly divergent code path.
     """
     B = len(mols)
     elements = np.zeros((B, dimension), dtype=np.int64)
@@ -64,11 +68,11 @@ def prepare_adj_mat_seer_input(mols: List[Molecule],
     batch_ranks = native.canonical_ranks_batch(bonded)
 
     canon: List[Molecule] = []
+    orders: List[List[int]] = []
     for b, mol in enumerate(bonded):
-        if batch_ranks is not None:
-            m = mol.renumber(smiles_output_order(mol, batch_ranks[b]))
-        else:
-            m = canonicalise(mol)
+        ranks = batch_ranks[b] if batch_ranks is not None else None
+        order = smiles_output_order(mol, ranks)
+        m = mol.renumber(order)
         n = m.num_atoms
         elements[b] = m.elements_vector(dimension)
         dm = m.distance_matrix().astype(np.float32)
@@ -76,6 +80,9 @@ def prepare_adj_mat_seer_input(mols: List[Molecule],
         dist[b] += eye
         adj[b] = m.binary_adjacency(dimension, add_identity=True)
         canon.append(m)
+        orders.append(order)
+    if return_orders:
+        return elements, dist, adj, canon, orders
     return elements, dist, adj, canon
 
 

@@ -77,7 +77,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 return None
             import shutil
             alt = f"{_LIB_PATH}.abi{_ABI_VERSION}"
-            shutil.copy2(_LIB_PATH, alt)
+            # copy-to-temp + atomic replace: a concurrent process may have
+            # the .abi file dlopen'ed already, and truncating a mapped .so
+            # in place SIGBUSes it (same hazard _build() avoids above)
+            alt_tmp = f"{alt}.tmp.{os.getpid()}"
+            shutil.copy2(_LIB_PATH, alt_tmp)
+            os.replace(alt_tmp, alt)
             lib = ctypes.CDLL(alt)
             lib.chemhost_abi_version.restype = ctypes.c_int
             if lib.chemhost_abi_version() != _ABI_VERSION:

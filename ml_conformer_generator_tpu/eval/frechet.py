@@ -153,8 +153,8 @@ def inchi_analog_key(mol: Molecule) -> str:
     ``tests/test_eval.py`` and documented in PARITY.md — is the mobile-H
     (tautomer) layer: InChI merges e.g. 2-pyridone with 2-hydroxypyridine
     and the two double-bond drawings of an amidinium ion; this key keeps
-    them distinct (so novelty counts here are a lower bound on InChI
-    novelty).
+    them distinct (so uniqueness/novelty counts here are an upper bound on
+    the InChI-keyed counts — the key merges fewer representations).
     """
     m = mol.remove_hs()
     charges = m.charges.copy()

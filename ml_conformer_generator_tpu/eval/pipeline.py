@@ -81,11 +81,20 @@ def evaluate_samples(reference: Molecule, samples: List[Molecule],
     results = []
     for k, s in enumerate(stripped):
         aligned = s.copy()
-        aligned.coords = frames[k] * FLIP_SIGNS[best_flip[k]][None, :]
-        results.append({
+        coords = frames[k] * FLIP_SIGNS[best_flip[k]][None, :]
+        if degenerate[k]:
+            # keep the serialized block parseable: a degenerate sample's raw
+            # centred coordinates can be NaN/1e20, which would render as
+            # 'nan' fields in the V2000 coordinate columns
+            coords = np.where(np.isfinite(coords), coords, 0.0)
+        aligned.coords = coords
+        result = {
             "mol_block": to_mol_block(aligned),
             "shape_tanimoto": (0.0 if degenerate[k]
                                else float(scores[k, best_flip[k]])),
             "chemical_tanimoto": tanimoto(fp_ref, morgan_fingerprint(s)),
-        })
+        }
+        if degenerate[k]:
+            result["degenerate"] = True
+        results.append(result)
     return ref_mol_block, results

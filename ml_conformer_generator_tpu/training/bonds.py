@@ -20,10 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..chem.canonical import smiles_output_order
 from ..chem.featurize import prepare_adj_mat_seer_input
 from ..chem.mol import Molecule
-from ..chem.perception import determine_connectivity
 from ..config import AdjMatSeerConfig
 from ..models.adj_mat_seer import (adj_mat_seer_forward,
                                    init_adj_mat_seer_params)
@@ -41,17 +39,17 @@ def bond_training_batch(mols: Sequence[Molecule],
     pairs (loss is not computed over padding or the diagonal).
     """
     heavy = [m.remove_hs() for m in mols]
-    elements, dist, adj, _ = prepare_adj_mat_seer_input(list(heavy),
-                                                        cfg.dimension)
+    elements, dist, adj, _, orders = prepare_adj_mat_seer_input(
+        list(heavy), cfg.dimension, return_orders=True)
     D = cfg.dimension
     target = np.zeros((len(heavy), D, D, cfg.num_bond_types),
                       dtype=np.float32)
     target[..., 0] = 1.0                      # default: "no bond" channel
     pair_mask = np.zeros((len(heavy), D, D), dtype=np.float32)
     for b, m in enumerate(heavy):
-        # the same order the input featurisation used (single-bond graph)
-        order = smiles_output_order(determine_connectivity(m))
-        true_canon = m.renumber(order)
+        # the IDENTICAL permutation the input featurisation applied (native
+        # batched ranks when available) — not an independent recomputation
+        true_canon = m.renumber(orders[b])
         for i, j, o in true_canon.bonds:
             t = min(int(o), cfg.num_bond_types - 1)
             target[b, i, j, 0] = target[b, j, i, 0] = 0.0
