@@ -35,6 +35,12 @@ class EvaluationReport:
     n_samples_per_reference: int = 0
     n_requested: int = 0
     n_valid: int = 0
+    #: valid AND heavy-atom count within ±variance of the reference size —
+    #: the size-conditioned success criterion (requests draw sample sizes in
+    #: [n_ref - v, n_ref + v], reference ``conformer_generator.py:317-319``);
+    #: plain ``n_valid`` also counts salvaged fragments (the standardizer
+    #: keeps the largest fragment of a disconnected sample)
+    n_size_matched: int = 0
     total_gen_time_s: float = 0.0
     total_eval_time_s: float = 0.0
     avg_shape_tanimoto: float = 0.0
@@ -53,6 +59,11 @@ class EvaluationReport:
     @property
     def validity(self) -> float:
         return self.n_valid / self.n_requested if self.n_requested else 0.0
+
+    @property
+    def size_matched_validity(self) -> float:
+        return (self.n_size_matched / self.n_requested
+                if self.n_requested else 0.0)
 
     @property
     def valid_mol_per_s(self) -> float:
@@ -117,7 +128,10 @@ def run_evaluation(generator, references: Sequence[Molecule],
             chem_sum += ct
             rep.max_shape_tanimoto = max(rep.max_shape_tanimoto, st)
             _acc(rep.by_ref_size, ref_n, st, ct)
-            _acc(rep.by_variance, ref_n - mol.remove_hs().num_atoms, st, ct)
+            sample_n = mol.remove_hs().num_atoms
+            if abs(ref_n - sample_n) <= variance:
+                rep.n_size_matched += 1
+            _acc(rep.by_variance, ref_n - sample_n, st, ct)
             aligned = from_mol_block(s["mol_block"])
             aligned.name = f"ref{i}_sample{len(rep.samples)}"
             rep.samples.append(aligned)
@@ -161,6 +175,8 @@ def format_report(rep: EvaluationReport) -> str:
         (f"Averaged time for generation (per reference) - "
          f"{rep.total_gen_time_s / max(rep.n_references, 1):.2f} sec per request"),
         f"Valid molecules generated - {100.0 * rep.validity:.2f}%",
+        (f"Size-matched valid molecules (within ±variance of reference) - "
+         f"{100.0 * rep.size_matched_validity:.2f}%"),
         f"Valid molecules per second - {rep.valid_mol_per_s:.2f}",
         (f"Unique molecules within generated set - "
          f"{rep.unique_within_batch} of {rep.n_valid}"),

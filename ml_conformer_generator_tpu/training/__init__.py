@@ -1,3 +1,4 @@
+from .augment import perturb_and_relax
 from .bonds import bond_training_batch, train_adj_mat_seer
 from .data import MoleculeDataset, batches, prefetch
 from .loop import train

@@ -53,6 +53,14 @@ def main():
     ap.add_argument("--batch", type=int, default=32, help="training batch")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--augment", type=int, default=16,
+                    help="perturb-and-relax conformer copies per training "
+                         "molecule (training/augment.py); 0 disables")
+    ap.add_argument("--augment-sigma", type=float, default=0.15)
+    ap.add_argument("--variance", type=int, default=0,
+                    help="size variance of evaluation requests (reference "
+                         "protocol: 2; default 0 = exact-size requests for "
+                         "the overfit regime)")
     ap.add_argument("--out", default="/root/repo/.weights_overfit")
     ap.add_argument("--json", default="/root/repo/VALIDITY.json")
     ap.add_argument("--skip-train", action="store_true",
@@ -82,14 +90,24 @@ def main():
 
     egnn_cfg = EGNNConfig()           # production 420 x 9
     history = {}
+    train_mols = mols
+    if args.augment:
+        from ml_conformer_generator_tpu.training import perturb_and_relax
+        t0 = time.time()
+        train_mols = perturb_and_relax(mols, n_copies=args.augment,
+                                       sigma=args.augment_sigma,
+                                       seed=args.seed)
+        print(f"[overfit] augmented {len(mols)} -> {len(train_mols)} "
+              f"conformers (perturb sigma {args.augment_sigma} A + "
+              f"restrained relax, {time.time() - t0:.1f}s)", flush=True)
     if not (args.skip_train and os.path.exists(edm_path)):
-        # replicate the tiny set so the epoch loop yields full batches
-        # (cap the replica count — featurisation cost, not data volume —
-        # and run multiple epochs to reach the step budget)
+        # replicate the set so the epoch loop yields full batches (cap the
+        # replica count — featurisation cost, not data volume — and run
+        # multiple epochs to reach the step budget)
         target_epoch_steps = min(args.edm_steps, 200)
         reps = max(1, (args.batch * target_epoch_steps)
-                   // max(len(mols), 1) + 1)
-        big = MoleculeDataset(mols * reps)
+                   // max(len(train_mols), 1) + 1)
+        big = MoleculeDataset(train_mols * reps)
         steps_per_epoch = len(big) // args.batch
         epochs = max(1, -(-args.edm_steps // max(steps_per_epoch, 1)))
         out = train(big, egnn_cfg=egnn_cfg,
@@ -126,12 +144,19 @@ def main():
     train_keys = {inchi_analog_key(m) for m in mols}
     for ref in mols:
         t0 = time.time()
-        # variance=0: every sample at the reference's own size (the overfit
-        # EDM memorised exact-size conformers)
+        # variance=0 default: every sample at the reference's own size (the
+        # overfit EDM memorised exact-size conformers)
         valid = gen.generate_conformers(reference_conformer=ref,
-                                        n_samples=args.samples, variance=0)
+                                        n_samples=args.samples,
+                                        variance=args.variance)
         keys = [inchi_analog_key(m) for m in valid]
         sizes = sorted(m.num_atoms for m in valid)
+        # size-matched success: valid AND heavy atoms within ±variance of
+        # the request — a salvaged largest-fragment of a disconnected
+        # sample does NOT count (round-4 verdict: fragment-permissive
+        # validity flattered 5-atom fragments of 23-atom requests)
+        n_matched = sum(1 for n in sizes
+                        if abs(n - ref.num_atoms) <= args.variance)
         shape = []
         if valid:
             _, scored = evaluate_samples(ref, valid)
@@ -141,6 +166,8 @@ def main():
             "n_samples": args.samples,
             "n_valid": len(valid),
             "validity": round(len(valid) / args.samples, 4),
+            "n_size_matched": n_matched,
+            "size_matched_validity": round(n_matched / args.samples, 4),
             "unique_within_valid": len(set(keys)),
             "n_matching_training_molecule":
                 sum(1 for k in keys if k in train_keys),
@@ -163,11 +190,23 @@ def main():
 
     n_total = sum(r["n_samples"] for r in per_ref)
     n_valid = sum(r["n_valid"] for r in per_ref)
+    n_matched = sum(r["n_size_matched"] for r in per_ref)
     shapes = [r["avg_shape_tanimoto"] for r in per_ref
               if r["avg_shape_tanimoto"] is not None]
     report = {
+        "validity_definition": {
+            "validity": "FRAGMENT-PERMISSIVE: any sample whose largest "
+                        "fragment survives the full standardizer counts, "
+                        "regardless of size (the reference's own criterion, "
+                        "standardizer.py:83-111 via FragmentParent)",
+            "size_matched_validity": "valid AND heavy-atom count within "
+                                     "±variance of the request — fragment "
+                                     "salvage cannot flatter this number",
+        },
         "validity": round(n_valid / n_total, 4),
+        "size_matched_validity": round(n_matched / n_total, 4),
         "n_valid": n_valid,
+        "n_size_matched": n_matched,
         "n_samples": n_total,
         "n_matching_training_molecule":
             sum(r["n_matching_training_molecule"] for r in per_ref),
@@ -178,7 +217,11 @@ def main():
                     "config": "EGNNConfig() 420x9, AdjMatSeerConfig() 2048"},
         "training": {
             "dataset": "reference demo conformers (assets/demo_files), "
-                       f"{len(mols)} molecules in [15, 39] heavy atoms",
+                       f"{len(mols)} molecules in [15, 39] heavy atoms"
+                       + (f", augmented to {len(train_mols)} conformers "
+                          f"(perturb sigma {args.augment_sigma} A + "
+                          "restrained relax, training/augment.py)"
+                          if args.augment else ""),
             "edm_steps": args.edm_steps, "bond_steps": args.bond_steps,
             "batch": args.batch, "lr": args.lr,
             "history_tail": {k: v[-3:] for k, v in history.items()},
@@ -186,7 +229,8 @@ def main():
         "command": "python scripts/train_overfit_validity.py "
                    f"--edm-steps {args.edm_steps} "
                    f"--bond-steps {args.bond_steps} "
-                   f"--samples {args.samples}",
+                   f"--samples {args.samples} --augment {args.augment} "
+                   f"--variance {args.variance}",
         "caveats": "Overfit existence proof on the 3 in-range demo "
                    "conformers — demonstrates the training stack, sampler, "
                    "bond predictor and chemistry layer compose into valid "

@@ -124,3 +124,37 @@ def test_adj_mat_seer_training_overfits_bonds():
     m = batch["pair_mask"] > 0
     acc = (pred[m] == true[m]).mean()
     assert acc > 0.97, acc
+
+
+def test_perturb_and_relax_augmentation():
+    """training/augment.py: copies are distinct conformers of the SAME
+    molecules (identical graphs), with physical geometry restored by the
+    restrained relaxation (bond lengths near the originals)."""
+    from ml_conformer_generator_tpu.chem.io import read_mol_file
+    from ml_conformer_generator_tpu.training import perturb_and_relax
+
+    base = read_mol_file(
+        "/root/reference/assets/demo_files/ceyyag.mol").remove_hs()
+    out = perturb_and_relax([base], n_copies=3, sigma=0.15, seed=0,
+                            relax_steps=40, rotate=True)
+    assert len(out) == 4
+    assert out[0] is base
+
+    def bond_lengths(m):
+        return np.array([np.linalg.norm(m.coords[i] - m.coords[j])
+                         for i, j, _ in m.bonds])
+
+    ref_bl = bond_lengths(base)
+    seen = []
+    for copy in out[1:]:
+        assert np.array_equal(copy.atomic_nums, base.atomic_nums)
+        assert copy.bonds == base.bonds
+        assert np.isfinite(copy.coords).all()
+        # distinct conformer: coordinates moved...
+        assert not np.allclose(copy.coords, base.coords, atol=1e-3)
+        # ...but bond lengths stay chemically sane (within the restraint's
+        # local-cleanup regime)
+        np.testing.assert_allclose(bond_lengths(copy), ref_bl, atol=0.35)
+        seen.append(copy.coords.copy())
+    # copies differ from each other too
+    assert not np.allclose(seen[0], seen[1], atol=1e-3)
