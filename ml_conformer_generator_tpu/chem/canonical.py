@@ -37,12 +37,17 @@ Inputs that could still diverge from RDKit (no RDKit and no network in this
 environment, so algorithm-level fidelity is documented instead of
 cross-checked):
 
-1. Aromatic N-H information is not recoverable from a heavy-atom graph: the
-   attached-H invariant cannot distinguish pyrrole-type from pyridine-type
-   nitrogens once explicit hydrogens are stripped (imidazole's two N get
-   equal initial invariants here; RDKit, which carries per-atom H counts,
-   splits them). The affected ranks still refine deterministically — only
-   the numbering within such N pairs can differ from RDKit's.
+1. Aromatic N-H placement: where unique kekulizability FORCES it (indole,
+   carbazole, 7-azaindole: the pyrrole-type N cannot take a double bond
+   without leaving an odd atom count to match), the attached-H invariant
+   now recovers it from the heavy-atom graph and splits pyrrole-type from
+   pyridine-type N exactly as RDKit's per-atom H counts do, in the same
+   relative order (fewer H ranks first in both). What REMAINS divergent is
+   the kekulization-ambiguous residue — imidazole/pyrazole-type systems
+   where both N roles kekulise (the tautomer pair) — which is not decidable
+   from a heavy-atom graph; such N stay tied here and are numbered by
+   tie-break (an automorphism of the heavy-atom graph, but not of RDKit's
+   H-annotated one).
 2. Isotopes are not tracked (the generator's element set has none).
 3. RDKit's chirality/ring-stereo invariants are not reproduced (this
    pipeline is constitution-only, as is the reference's use of
@@ -155,6 +160,38 @@ def _attached_h_counts(mol: Molecule) -> List[int]:
         else:
             target = _max_valence(z, chg)
         out.append(exp_h[a] + max(0, target - vceil))
+
+    # Divergence-class-1 narrowing: where the heavy-atom graph FORCES the
+    # aromatic N-H placement via unique kekulizability, feed it into the
+    # invariant so pyrrole-type and pyridine-type N split as RDKit's do.
+    # Candidates: neutral aromatic N with exactly two ring bonds, no other
+    # substituent and no explicit H. If the aromatic system kekulises with
+    # the N as a lone-pair donor but NOT with it double-bonded (indole,
+    # carbazole: the other ring atoms would need a perfect matching over an
+    # odd count), the N provably carries the H -> count it. Systems where
+    # both roles kekulise (imidazole's two N = the tautomer ambiguity)
+    # remain unsplit — that residue is not decidable from the heavy-atom
+    # graph at all.
+    n_arom = [0] * n
+    for i, j, o in mol.bonds:
+        if o == 4:
+            n_arom[i] += 1
+            n_arom[j] += 1
+    deg = [0] * n
+    for i, j, _o in mol.bonds:
+        deg[i] += 1
+        deg[j] += 1
+    candidates = [a for a in range(n)
+                  if int(mol.atomic_nums[a]) == 7
+                  and int(mol.charges[a]) == 0
+                  and n_arom[a] == 2 and deg[a] == 2 and exp_h[a] == 0]
+    if candidates:
+        from .sanitize import kekulize_feasible
+        for a in candidates:
+            pyrrole_ok = kekulize_feasible(mol, force_unmatched=(a,))
+            pyridine_ok = kekulize_feasible(mol, force_matched=(a,))
+            if pyrrole_ok and not pyridine_ok:
+                out[a] += 1
     return out
 
 

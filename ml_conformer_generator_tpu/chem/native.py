@@ -24,9 +24,10 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _LIB_PATH = os.path.join(_REPO_ROOT, "native", "libchemhost.so")
 _SRC_PATH = os.path.join(_REPO_ROOT, "native", "chemhost.cpp")
-#: must match chemhost_abi_version() in chemhost.cpp (v2: published-algorithm
-#: canonical ranks); a mismatching .so is rebuilt, never silently used.
-_ABI_VERSION = 2
+#: must match chemhost_abi_version() in chemhost.cpp (v3: kekulization-
+#: forced aromatic N-H in the attached-H invariant); a mismatching .so is
+#: rebuilt, never silently used.
+_ABI_VERSION = 3
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False

@@ -40,18 +40,20 @@ class SanitizeError(ValueError):
 # ---------------------------------------------------------------------------
 
 
-def kekulize(mol: Molecule) -> Molecule:
-    """Replace aromatic (order 4) bonds with alternating single/double bonds.
+def _aromatic_system(mol: Molecule):
+    """Build the aromatic (order-4) matching problem.
 
-    For each connected aromatic component, finds an assignment of double bonds
-    (a matching) such that every aromatic atom that *requires* a pi bond gets
-    exactly one. Atoms able to contribute a lone pair instead (N, O, S, P with
-    a full single-bond valence) may remain unmatched. Raises SanitizeError if
-    no assignment exists.
+    Returns ``(arom_atoms, arom_adj, must_match)`` — or ``None`` when the
+    molecule has no aromatic bonds. ``must_match[a]`` is True for atoms that
+    REQUIRE a pi bond (carbon-like); lone-pair donors (N, O, S, P, anions)
+    with room for a double may go either way. Atoms with no valence room for
+    a double bond are removed from the adjacency entirely (both directions —
+    they can neither seek nor receive a double). Raises SanitizeError for
+    over-valent / unkekulisable atoms.
     """
     arom_edges = [(i, j) for i, j, o in mol.bonds if o == 4]
     if not arom_edges:
-        return mol.copy()
+        return None
 
     arom_atoms = sorted({a for e in arom_edges for a in e})
     arom_adj: Dict[int, List[int]] = {a: [] for a in arom_atoms}
@@ -69,6 +71,7 @@ def kekulize(mol: Molecule) -> Molecule:
                 used[a] += o
 
     must_match: Dict[int, bool] = {}
+    no_double: List[int] = []
     for a in arom_atoms:
         z = int(mol.atomic_nums[a])
         chg = int(mol.charges[a])
@@ -86,7 +89,27 @@ def kekulize(mol: Molecule) -> Molecule:
         must_match[a] = not has_lone_pair  # C (and similar) must get a double
         if not can_double:
             must_match[a] = False
-            arom_adj[a] = []  # cannot participate in a double bond at all
+            no_double.append(a)
+    for a in no_double:
+        arom_adj[a] = []
+        for b in arom_adj:
+            arom_adj[b] = [x for x in arom_adj[b] if x != a]
+    return arom_atoms, arom_adj, must_match
+
+
+def kekulize(mol: Molecule) -> Molecule:
+    """Replace aromatic (order 4) bonds with alternating single/double bonds.
+
+    For each connected aromatic component, finds an assignment of double bonds
+    (a matching) such that every aromatic atom that *requires* a pi bond gets
+    exactly one. Atoms able to contribute a lone pair instead (N, O, S, P with
+    a full single-bond valence) may remain unmatched. Raises SanitizeError if
+    no assignment exists.
+    """
+    system = _aromatic_system(mol)
+    if system is None:
+        return mol.copy()
+    arom_atoms, arom_adj, must_match = system
 
     # Exact search per component (components are small: ring systems).
     double_edges = _kekule_matching(arom_atoms, arom_adj, must_match)
@@ -132,6 +155,45 @@ def _kekule_matching(atoms, adj, must_match):
     if not backtrack(0):
         raise SanitizeError("kekulisation failed: no valid double-bond pattern")
     return chosen
+
+
+def kekulize_feasible(mol: Molecule, force_matched: Tuple[int, ...] = (),
+                      force_unmatched: Tuple[int, ...] = ()) -> bool:
+    """Whether a kekulé double-bond matching exists under constraints.
+
+    ``force_matched`` atoms must receive a double bond (pyridine-type role);
+    ``force_unmatched`` atoms must not (lone-pair donor / pyrrole-type role).
+    Used by the canonical-ranking attached-H invariant to detect aromatic
+    N-H placements that the heavy-atom graph FORCES (``chem/canonical.py``
+    divergence class 1): e.g. indole's ring N cannot take a double bond (the
+    remaining 8 carbons would need a perfect matching over 9 atoms), so it
+    is provably pyrrole-type.
+    """
+    try:
+        system = _aromatic_system(mol)
+    except SanitizeError:
+        return False
+    if system is None:
+        return not force_matched
+    arom_atoms, arom_adj, must_match = system
+    arom_adj = {a: list(bs) for a, bs in arom_adj.items()}
+    must_match = dict(must_match)
+    for a in force_unmatched:
+        if must_match.get(a, False):
+            return False
+        if a in arom_adj:
+            arom_adj[a] = []
+            for b in arom_adj:
+                arom_adj[b] = [x for x in arom_adj[b] if x != a]
+    for a in force_matched:
+        if not arom_adj.get(a):
+            return False
+        must_match[a] = True
+    try:
+        _kekule_matching(arom_atoms, arom_adj, must_match)
+        return True
+    except SanitizeError:
+        return False
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,158 @@ int64_t max_valence(int z, int chg) {
   return base + (chg < 0 ? -chg : chg);
 }
 
+// ---------------------------------------------------------------------------
+// Kekulé-matching feasibility (mirror of chem/sanitize.py::_aromatic_system,
+// _kekule_matching and kekulize_feasible, restricted to what the forced
+// aromatic N-H invariant needs).
+// ---------------------------------------------------------------------------
+
+// Backtracking matching: every must_match atom gets exactly one double bond.
+bool kekule_backtrack(const std::vector<int>& order, size_t idx,
+                      const std::vector<std::vector<int>>& adj,
+                      std::vector<int>& matched) {
+  while (idx < order.size() && matched[order[idx]] != -1) ++idx;
+  if (idx == order.size()) return true;
+  int a = order[idx];
+  for (int b : adj[a]) {
+    if (matched[b] == -1) {
+      matched[a] = b;
+      matched[b] = a;
+      if (kekule_backtrack(order, idx + 1, adj, matched)) return true;
+      matched[a] = -1;
+      matched[b] = -1;
+    }
+  }
+  return false;
+}
+
+bool kekule_matching_feasible(int n, const std::vector<int>& atoms,
+                              const std::vector<std::vector<int>>& adj,
+                              const std::vector<char>& must_match) {
+  std::vector<int> matched(n, -1);
+  std::vector<int> order;
+  for (int a : atoms)
+    if (must_match[a]) order.push_back(a);
+  std::stable_sort(order.begin(), order.end(), [&](int x, int y) {
+    return adj[x].size() < adj[y].size();
+  });
+  return kekule_backtrack(order, 0, adj, matched);
+}
+
+// Build the aromatic matching problem; returns false on the cases where the
+// Python builder raises SanitizeError (over-valent / unkekulisable atom).
+bool build_aromatic_system(int n, const int32_t* z, const int32_t* charges,
+                           int nb, const int32_t* bonds,
+                           std::vector<int>& atoms,
+                           std::vector<std::vector<int>>& adj,
+                           std::vector<char>& must_match) {
+  adj.assign(n, {});
+  must_match.assign(n, 0);
+  std::vector<int64_t> used(n, 0);
+  std::vector<char> arom(n, 0);
+  for (int k = 0; k < nb; ++k) {
+    int i = bonds[3 * k], j = bonds[3 * k + 1], o = bonds[3 * k + 2];
+    if (o == 4) {
+      adj[i].push_back(j);
+      adj[j].push_back(i);
+      arom[i] = arom[j] = 1;
+    } else {
+      used[i] += o;
+      used[j] += o;
+    }
+  }
+  atoms.clear();
+  std::vector<char> no_double(n, 0);
+  bool any_removed = false;
+  for (int a = 0; a < n; ++a) {
+    if (!arom[a]) continue;
+    atoms.push_back(a);
+    int chg = charges ? charges[a] : 0;
+    int64_t base = used[a] + static_cast<int64_t>(adj[a].size());
+    int64_t max_v = max_valence(z[a], chg);
+    if (base > max_v) return false;
+    bool can_double = base + 1 <= max_v;
+    bool lone = (z[a] == 7 || z[a] == 8 || z[a] == 15 || z[a] == 16 ||
+                 z[a] == 34 || chg < 0);
+    if (!can_double && !lone) return false;
+    must_match[a] = lone ? 0 : 1;
+    if (!can_double) {
+      must_match[a] = 0;
+      no_double[a] = 1;
+      any_removed = true;
+    }
+  }
+  if (any_removed) {
+    for (int a = 0; a < n; ++a) {
+      if (no_double[a]) {
+        adj[a].clear();
+        continue;
+      }
+      auto& v = adj[a];
+      v.erase(std::remove_if(v.begin(), v.end(),
+                             [&](int b) { return no_double[b]; }),
+              v.end());
+    }
+  }
+  return true;
+}
+
+// Mirror of chem/canonical.py::_attached_h_counts' divergence-class-1
+// narrowing: aromatic N whose H placement is FORCED by unique kekulizability
+// (feasible as lone-pair donor, infeasible as double-bond acceptor) gets one
+// extra attached H in the canonical invariant. Kekulization-ambiguous N
+// (tautomer pairs: imidazole, purine, 7-azaindole) stay unchanged on both
+// sides.
+void apply_forced_aromatic_h(int n, const int32_t* z, const int32_t* charges,
+                             int nb, const int32_t* bonds,
+                             const std::vector<int64_t>& exp_h,
+                             std::vector<int64_t>& h) {
+  std::vector<int> n_arom(n, 0), deg(n, 0);
+  bool any_arom = false;
+  for (int k = 0; k < nb; ++k) {
+    int i = bonds[3 * k], j = bonds[3 * k + 1], o = bonds[3 * k + 2];
+    deg[i]++;
+    deg[j]++;
+    if (o == 4) {
+      n_arom[i]++;
+      n_arom[j]++;
+      any_arom = true;
+    }
+  }
+  if (!any_arom) return;
+  std::vector<int> candidates;
+  for (int a = 0; a < n; ++a) {
+    int chg = charges ? charges[a] : 0;
+    if (z[a] == 7 && chg == 0 && n_arom[a] == 2 && deg[a] == 2 &&
+        exp_h[a] == 0)
+      candidates.push_back(a);
+  }
+  if (candidates.empty()) return;
+  std::vector<int> atoms;
+  std::vector<std::vector<int>> adj;
+  std::vector<char> must_match;
+  if (!build_aromatic_system(n, z, charges, nb, bonds, atoms, adj,
+                             must_match))
+    return;  // SanitizeError analog: feasibility false both ways -> no change
+  for (int a : candidates) {
+    // pyrrole role: a removed from the matching problem entirely
+    std::vector<std::vector<int>> adj_u(adj);
+    adj_u[a].clear();
+    for (auto& v : adj_u)
+      v.erase(std::remove(v.begin(), v.end(), a), v.end());
+    bool pyrrole_ok = !must_match[a] &&
+                      kekule_matching_feasible(n, atoms, adj_u, must_match);
+    // pyridine role: a must receive a double bond
+    bool pyridine_ok = false;
+    if (!adj[a].empty()) {
+      std::vector<char> must_m(must_match);
+      must_m[a] = 1;
+      pyridine_ok = kekule_matching_feasible(n, atoms, adj, must_m);
+    }
+    if (pyrrole_ok && !pyridine_ok) h[a] += 1;
+  }
+}
+
 // 1 for atoms on any cycle: iterative bridge finding (Tarjan low-link),
 // mirror of chem/canonical.py::_ring_membership_exact.
 std::vector<int64_t> ring_membership(int n, int nb, const int32_t* bonds) {
@@ -176,7 +328,7 @@ void canonical_ranks_one(int n, const int32_t* z, const int32_t* charges,
   // (aromatic 1.5, rounded half up), atomic number, charge, attached-H
   // count (explicit H neighbours + implicit by the valence model), ring
   // membership.
-  std::vector<Key> keys(n);
+  std::vector<int64_t> h(n, 0);
   for (int a = 0; a < n; ++a) {
     int chg = charges ? charges[a] : 0;
     int64_t vceil = (v2[a] + 1) / 2;
@@ -189,8 +341,13 @@ void canonical_ranks_one(int n, const int32_t* z, const int32_t* charges,
     } else {
       target = max_valence(z[a], chg);
     }
-    int64_t h = exp_h[a] + std::max<int64_t>(0, target - vceil);
-    keys[a] = {deg[a], vceil, z[a], chg, h, ring[a]};
+    h[a] = exp_h[a] + std::max<int64_t>(0, target - vceil);
+  }
+  apply_forced_aromatic_h(n, z, charges, nb, bonds, exp_h, h);
+  std::vector<Key> keys(n);
+  for (int a = 0; a < n; ++a) {
+    int chg = charges ? charges[a] : 0;
+    keys[a] = {deg[a], (v2[a] + 1) / 2, z[a], chg, h[a], ring[a]};
   }
   std::vector<int64_t> ranks = ranks_from_keys(keys);
 
@@ -380,6 +537,8 @@ int chemhost_find_rings(int n, int nb, const int32_t* bonds, int max_size,
 
 // v2: canonical ranks follow the published RDKit algorithm (Schneider/
 // Sayle/Landrum 2015 invariants + decreasing-order neighbour refinement).
-int chemhost_abi_version() { return 2; }
+// v3: attached-H invariant recovers kekulization-forced aromatic N-H
+// (divergence class 1 narrowing; mirror of chem/canonical.py).
+int chemhost_abi_version() { return 3; }
 
 }  // extern "C"

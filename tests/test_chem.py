@@ -369,3 +369,59 @@ def test_sdf_roundtrip_unnamed_molecules():
     assert [m.num_atoms for m in out] == [2, 3, 2]
     assert out[1].name == "named"
     assert [tuple(x) for x in out[2].bonds] == [(0, 1, 1)]
+
+
+def test_canonical_ranks_forced_aromatic_nh():
+    """Divergence-class-1 narrowing (r4 verdict item 6): where unique
+    kekulizability FORCES aromatic N-H placement, the attached-H invariant
+    recovers it from the heavy-atom graph — pyrrole-type N (forced lone-pair
+    donor) counts one attached H and splits from pyridine-type N exactly as
+    RDKit's per-atom H counts split them; kekulization-ambiguous systems
+    (real tautomer pairs) stay unsplit."""
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.chem.canonical import (_attached_h_counts,
+                                                           canonical_ranks)
+
+    def n_hcounts(smi):
+        m = from_smiles(smi).remove_hs()
+        h = _attached_h_counts(m)
+        return m, [h[a] for a in range(m.num_atoms)
+                   if int(m.atomic_nums[a]) == 7]
+
+    # FORCED pyrrole-type: double-bonding the N leaves an odd number of
+    # carbons needing a perfect matching
+    _, h = n_hcounts("c1ccc2[nH]ccc2c1")            # indole
+    assert h == [1]
+    _, h = n_hcounts("c1ccc2c(c1)cc[nH]2")          # indole, other atom order
+    assert h == [1]
+    _, h = n_hcounts("c1ccc2c(c1)[nH]c1ccccc12")    # carbazole
+    assert h == [1]
+    _, h = n_hcounts("c1cc[nH]c1")                  # pyrrole
+    assert h == [1]
+
+    # FORCED pyridine-type / no H possible
+    _, h = n_hcounts("c1ccncc1")                    # pyridine
+    assert h == [0]
+    _, h = n_hcounts("Cn1cccc1")                    # N-methylpyrrole
+    assert h == [0]
+
+    # AMBIGUOUS (real tautomer pairs — undecidable from the heavy-atom
+    # graph; RDKit only distinguishes them because the input H counts say
+    # so): both roles kekulise, no H is inferred
+    _, h = n_hcounts("c1c[nH]cn1")                  # imidazole
+    assert h == [0, 0]
+    _, h = n_hcounts("c1ncc2[nH]cnc2n1")            # purine (7H/9H)
+    assert h == [0, 0, 0, 0]
+    _, h = n_hcounts("c1cc2cc[nH]c2nc1")            # 7-azaindole (1H/7H)
+    assert h == [0, 0]
+
+    # relative order matches RDKit's invariant direction: fewer attached H
+    # ranks first (pyridine-type N before pyrrole-type N)
+    m, h = n_hcounts("c1ccncc1-c1cc[nH]c1")         # 2-phenylpyridine-pyrrole
+    assert sorted(h) == [0, 1]
+    ranks = canonical_ranks(m)
+    n_atoms = [a for a in range(m.num_atoms) if int(m.atomic_nums[a]) == 7]
+    hc = _attached_h_counts(m)
+    pyridine_n = next(a for a in n_atoms if hc[a] == 0)
+    pyrrole_n = next(a for a in n_atoms if hc[a] == 1)
+    assert int(ranks[pyridine_n]) < int(ranks[pyrrole_n])

@@ -135,6 +135,11 @@ def test_canonical_ranks_match_python_aromatic_and_charged(rng):
         "C[N+](=O)[O-]",                # charge-separated nitro
         "[O-]S(=O)(=O)[O-]",            # -2 net, S(VI)
         "Oc1ccc(cc1)C(=O)Nc1ccncc1",    # fused H-count diversity
+        "c1ccc2[nH]ccc2c1",             # indole: kekulization-forced N-H
+        "c1ccc2c(c1)[nH]c1ccccc12",     # carbazole: forced N-H, fused
+        "c1cc2cc[nH]c2nc1",             # 7-azaindole: tautomer-ambiguous
+        "c1ncc2[nH]cnc2n1",             # purine: tautomer-ambiguous
+        "c1ccncc1-c1cc[nH]c1",          # forced pyridine + forced pyrrole
     ]]
     for _ in range(6):
         m = _random_mol(rng, n=int(rng.integers(5, 24)))
