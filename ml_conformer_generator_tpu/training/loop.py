@@ -31,8 +31,17 @@ def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
           epochs: int = 1, lr: float = 1e-4, seed: int = 0,
           mesh=None, params=None, checkpoint_path: Optional[str] = None,
           checkpoint_every: int = 500, log_every: int = 50,
+          ema_decay: float = 0.0, cosine_lr: bool = False,
+          warmup_steps: int = 0,
           log_fn: Callable[[str], None] = print) -> Dict:
-    """Train the EGNN denoiser; returns {params, opt_state, history}."""
+    """Train the EGNN denoiser; returns {params, ema_params, opt_state,
+    history}.
+
+    ``ema_decay`` > 0 maintains an exponential moving average of the
+    parameters (the standard EDM inference weights; e.g. 0.999) — when
+    enabled, checkpoints save the EMA parameters. ``cosine_lr`` decays the
+    learning rate over the planned step budget (``make_optimizer``).
+    """
     diff_cfg = diff_cfg or DiffusionConfig()
     mesh = mesh or make_mesh((len(jax.devices()), 1))
     key = jax.random.PRNGKey(seed)
@@ -40,9 +49,19 @@ def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
         key, init_key = jax.random.split(key)
         params = init_egnn_params(init_key, egnn_cfg)
 
-    optimizer = make_optimizer(lr=lr)
+    steps_per_epoch = max(len(dataset) // max(batch_size, 1), 1)
+    optimizer = make_optimizer(
+        lr=lr, total_steps=epochs * steps_per_epoch if cosine_lr else 0,
+        warmup_steps=warmup_steps)
     opt_state = init_train_state(params, optimizer)
     step_fn = make_train_step(mesh, egnn_cfg, diff_cfg, optimizer)
+
+    ema_params = jax.tree.map(jnp.asarray, params) if ema_decay > 0 else None
+
+    @jax.jit
+    def ema_update(ema, p):
+        return jax.tree.map(
+            lambda e, q: ema_decay * e + (1.0 - ema_decay) * q, ema, p)
     gamma = jnp.asarray(gamma_schedule(diff_cfg.timesteps,
                                        diff_cfg.noise_precision,
                                        diff_cfg.schedule_power))
@@ -58,6 +77,8 @@ def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             params, opt_state, metrics = step_fn(params, opt_state, sub, jb,
                                                  gamma)
+            if ema_params is not None:
+                ema_params = ema_update(ema_params, params)
             step += 1
             if step % log_every == 0:
                 loss = float(metrics["loss"])
@@ -66,7 +87,10 @@ def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
                 log_fn(f"[train] epoch {epoch} step {step} "
                        f"loss {loss:.5f} ({rate:.1f} mol/s)")
             if checkpoint_path and step % checkpoint_every == 0:
-                save_params(checkpoint_path, params)
+                save_params(checkpoint_path,
+                            params if ema_params is None else ema_params)
     if checkpoint_path:
-        save_params(checkpoint_path, params)
-    return {"params": params, "opt_state": opt_state, "history": history}
+        save_params(checkpoint_path,
+                    params if ema_params is None else ema_params)
+    return {"params": params, "ema_params": ema_params,
+            "opt_state": opt_state, "history": history}

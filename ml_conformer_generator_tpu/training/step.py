@@ -18,7 +18,19 @@ from ..parallel.edge_shard import dynamics_forward_sharded
 from .loss import edm_training_loss
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12):
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12, *,
+                   total_steps: int = 0, warmup_steps: int = 0,
+                   end_lr_frac: float = 0.1):
+    """AdamW; with ``total_steps`` > 0, linear warmup + cosine decay to
+    ``lr * end_lr_frac`` (the denoiser's sample quality is sensitive to the
+    final-LR noise floor — a constant LR leaves the overfit regime orbiting
+    the minimum instead of settling into it)."""
+    if total_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else lr, peak_value=lr,
+            warmup_steps=warmup_steps, decay_steps=total_steps,
+            end_value=lr * end_lr_frac)
+        return optax.adamw(schedule, weight_decay=weight_decay)
     return optax.adamw(lr, weight_decay=weight_decay)
 
 

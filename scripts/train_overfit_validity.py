@@ -57,6 +57,9 @@ def main():
                     help="perturb-and-relax conformer copies per training "
                          "molecule (training/augment.py); 0 disables")
     ap.add_argument("--augment-sigma", type=float, default=0.15)
+    ap.add_argument("--ema", type=float, default=0.999,
+                    help="EMA decay for the EDM inference weights "
+                         "(0 disables)")
     ap.add_argument("--variance", type=int, default=0,
                     help="size variance of evaluation requests (reference "
                          "protocol: 2; default 0 = exact-size requests for "
@@ -114,9 +117,12 @@ def main():
                     diff_cfg=DiffusionConfig(),   # T=1000 training schedule
                     batch_size=args.batch, epochs=epochs, lr=args.lr,
                     seed=args.seed, checkpoint_path=edm_path,
+                    ema_decay=args.ema, cosine_lr=True, warmup_steps=100,
                     log_every=min(50, max(1, args.edm_steps // 10)))
         history["edm"] = out["history"]
-        save_params(edm_path, out["params"])
+        # EMA parameters are the inference weights when enabled
+        save_params(edm_path, out["ema_params"] if out["ema_params"]
+                    is not None else out["params"])
         if out["history"]:
             print(f"[overfit] EDM trained: loss "
                   f"{out['history'][0]['loss']:.4f} -> "
@@ -224,6 +230,8 @@ def main():
                           if args.augment else ""),
             "edm_steps": args.edm_steps, "bond_steps": args.bond_steps,
             "batch": args.batch, "lr": args.lr,
+            "lr_schedule": "warmup 100 + cosine decay to 0.1x",
+            "ema_decay": args.ema,
             "history_tail": {k: v[-3:] for k, v in history.items()},
         },
         "command": "python scripts/train_overfit_validity.py "
