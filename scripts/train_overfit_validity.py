@@ -147,6 +147,7 @@ def main():
     from ml_conformer_generator_tpu.eval.pipeline import evaluate_samples
 
     per_ref = []
+    all_keys = []
     train_keys = {inchi_analog_key(m) for m in mols}
     for ref in mols:
         t0 = time.time()
@@ -156,6 +157,7 @@ def main():
                                         n_samples=args.samples,
                                         variance=args.variance)
         keys = [inchi_analog_key(m) for m in valid]
+        all_keys.extend(keys)
         sizes = sorted(m.num_atoms for m in valid)
         # size-matched success: valid AND heavy atoms within ±variance of
         # the request — a salvaged largest-fragment of a disconnected
@@ -216,6 +218,12 @@ def main():
         "n_samples": n_total,
         "n_matching_training_molecule":
             sum(r["n_matching_training_molecule"] for r in per_ref),
+        # uniqueness/novelty across ALL valid samples (InChI-analog keys,
+        # the harness's identity criterion — reference counts both by
+        # InChI, evaluation.py:12-42)
+        "unique_within_all_valid": len(set(all_keys)),
+        "novel_vs_training_set":
+            sum(1 for k in all_keys if k not in train_keys),
         "avg_shape_tanimoto": (round(float(np.mean(shapes)), 4)
                                if shapes else None),
         "per_reference": per_ref,
