@@ -59,9 +59,14 @@ def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
     ema_params = jax.tree.map(jnp.asarray, params) if ema_decay > 0 else None
 
     @jax.jit
-    def ema_update(ema, p):
-        return jax.tree.map(
-            lambda e, q: ema_decay * e + (1.0 - ema_decay) * q, ema, p)
+    def ema_update(ema, p, t):
+        # Warmup (min(decay, (1+t)/(10+t))): without it a run of S steps
+        # keeps decay^S of the INITIAL RANDOM weights in the average —
+        # 0.999^1200 ~= 30%, which destroys sample quality on short runs
+        # (measured: 0/24 valid molecules in the width-64 CPU rehearsal vs
+        # nonzero with the warmup).
+        d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+        return jax.tree.map(lambda e, q: d * e + (1.0 - d) * q, ema, p)
     gamma = jnp.asarray(gamma_schedule(diff_cfg.timesteps,
                                        diff_cfg.noise_precision,
                                        diff_cfg.schedule_power))
@@ -78,7 +83,8 @@ def train(dataset: MoleculeDataset, *, egnn_cfg: EGNNConfig,
             params, opt_state, metrics = step_fn(params, opt_state, sub, jb,
                                                  gamma)
             if ema_params is not None:
-                ema_params = ema_update(ema_params, params)
+                ema_params = ema_update(ema_params, params,
+                                        jnp.float32(step))
             step += 1
             if step % log_every == 0:
                 loss = float(metrics["loss"])
