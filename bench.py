@@ -145,6 +145,14 @@ def acquire_backend(time_budget_s: float,
                  f"(acquired after {len(attempts)} attempt(s))")
             return state["platform"], attempts
         if left < min_reserve_s:
+            if not attempts:
+                # the in-flight attempt never completed (hang, or still
+                # importing) — record that so the artifact is never an
+                # empty log
+                attempts.append({
+                    "t_s": round(time.perf_counter() - T0, 1), "ok": False,
+                    "error": "no probe completed within the budget "
+                             "(backend init hang or slow import)"})
             note(f"backend unavailable after {len(attempts)} failed "
                  f"attempt(s) and {time.perf_counter() - T0:.0f}s waiting; "
                  f"{left:.0f}s budget left — giving up")

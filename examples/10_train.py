@@ -52,15 +52,12 @@ def main() -> int:
         return 1
     print(f"[train] {len(ds)} conformers")
 
-    out = train(ds, egnn_cfg=EGNNConfig(), batch_size=args.batch,
-                epochs=args.epochs, lr=args.lr, seed=args.seed,
-                ema_decay=0.999, cosine_lr=True, warmup_steps=100,
-                checkpoint_path=os.path.join(args.out, "edm.npz"),
-                checkpoint_every=args.checkpoint_every)
-    # EMA parameters are the inference weights
-    save_params(os.path.join(args.out, "edm.npz"),
-                out["ema_params"] if out["ema_params"] is not None
-                else out["params"])
+    # train() saves the EMA (inference) weights to checkpoint_path itself
+    train(ds, egnn_cfg=EGNNConfig(), batch_size=args.batch,
+          epochs=args.epochs, lr=args.lr, seed=args.seed,
+          ema_decay=0.999, cosine_lr=True, warmup_steps=100,
+          checkpoint_path=os.path.join(args.out, "edm.npz"),
+          checkpoint_every=args.checkpoint_every)
 
     bonds = train_adj_mat_seer(ds.mols, steps=args.bond_steps, lr=args.lr,
                                batch_size=min(args.batch, len(ds)),

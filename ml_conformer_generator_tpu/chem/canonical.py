@@ -38,16 +38,16 @@ environment, so algorithm-level fidelity is documented instead of
 cross-checked):
 
 1. Aromatic N-H placement: where unique kekulizability FORCES it (indole,
-   carbazole, 7-azaindole: the pyrrole-type N cannot take a double bond
+   carbazole, pyrrole: the pyrrole-type N cannot take a double bond
    without leaving an odd atom count to match), the attached-H invariant
    now recovers it from the heavy-atom graph and splits pyrrole-type from
    pyridine-type N exactly as RDKit's per-atom H counts do, in the same
    relative order (fewer H ranks first in both). What REMAINS divergent is
-   the kekulization-ambiguous residue — imidazole/pyrazole-type systems
-   where both N roles kekulise (the tautomer pair) — which is not decidable
-   from a heavy-atom graph; such N stay tied here and are numbered by
-   tie-break (an automorphism of the heavy-atom graph, but not of RDKit's
-   H-annotated one).
+   the kekulization-ambiguous residue — systems where both N roles
+   kekulise because a real tautomer pair exists (imidazole, purine,
+   7-azaindole) — which is not decidable from a heavy-atom graph; such N
+   stay tied here and are numbered by tie-break (an automorphism of the
+   heavy-atom graph, but not of RDKit's H-annotated one).
 2. Isotopes are not tracked (the generator's element set has none).
 3. RDKit's chirality/ring-stereo invariants are not reproduced (this
    pipeline is constitution-only, as is the reference's use of

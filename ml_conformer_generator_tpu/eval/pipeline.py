@@ -84,9 +84,12 @@ def evaluate_samples(reference: Molecule, samples: List[Molecule],
         coords = frames[k] * FLIP_SIGNS[best_flip[k]][None, :]
         if degenerate[k]:
             # keep the serialized block parseable: a degenerate sample's raw
-            # centred coordinates can be NaN/1e20, which would render as
-            # 'nan' fields in the V2000 coordinate columns
-            coords = np.where(np.isfinite(coords), coords, 0.0)
+            # centred coordinates can be NaN or huge (1e20); both overflow
+            # the fixed-width f10.4 V2000 coordinate columns (values >= 1e5
+            # widen the field and shift every later column), so zero
+            # anything non-finite OR out of the format's range
+            coords = np.where(np.isfinite(coords) & (np.abs(coords) < 1e4),
+                              coords, 0.0)
         aligned.coords = coords
         result = {
             "mol_block": to_mol_block(aligned),

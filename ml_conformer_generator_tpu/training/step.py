@@ -26,6 +26,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-12, *,
     final-LR noise floor — a constant LR leaves the overfit regime orbiting
     the minimum instead of settling into it)."""
     if total_steps > 0:
+        # optax requires decay_steps - warmup_steps > 0; clamp so short
+        # runs (small corpora / few epochs) degrade to a shorter warmup
+        # instead of raising at startup
+        warmup_steps = min(warmup_steps, max(total_steps - 1, 0))
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0 if warmup_steps else lr, peak_value=lr,
             warmup_steps=warmup_steps, decay_steps=total_steps,
