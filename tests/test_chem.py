@@ -425,3 +425,21 @@ def test_canonical_ranks_forced_aromatic_nh():
     pyridine_n = next(a for a in n_atoms if hc[a] == 0)
     pyrrole_n = next(a for a in n_atoms if hc[a] == 1)
     assert int(ranks[pyridine_n]) < int(ranks[pyrrole_n])
+
+
+def test_kekulize_never_doubles_valence_saturated_atoms():
+    """r5 regression: atoms with no valence room for a double bond
+    (N-methylpyrrole N, furan O) must never receive one — previously they
+    were cleared from their OWN adjacency but stayed in their neighbours',
+    so a must-match carbon could still pick them as partner."""
+    from ml_conformer_generator_tpu.chem import from_smiles
+    from ml_conformer_generator_tpu.chem.sanitize import kekulize
+
+    for smi, z_no_double in [("Cn1cccc1", 7), ("c1ccoc1", 8),
+                             ("c1ccsc1", 16), ("Cn1ccc2ccccc21", 7)]:
+        m = from_smiles(smi).remove_hs()
+        k = kekulize(m)
+        for i, j, o in k.bonds:
+            if o == 2:
+                assert int(m.atomic_nums[i]) != z_no_double
+                assert int(m.atomic_nums[j]) != z_no_double
