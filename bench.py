@@ -221,7 +221,9 @@ def make_demo_refs(n_requests: int, min_n: int, max_n: int):
 
 
 def measure_e2e(gen, driver, refs: List, batch: int, variance: int,
-                deadline: Optional[float] = None) -> dict:
+                deadline: Optional[float] = None,
+                weights_label: str = "untrained (random init; no trained "
+                                     "weights found)") -> dict:
     """End-to-end valid-mol/s through the public pipeline (north-star metric).
 
     Drives ``ScreeningDriver.screen`` (the full ``generate_conformers``
@@ -289,7 +291,7 @@ def measure_e2e(gen, driver, refs: List, batch: int, variance: int,
         "raw_mol_per_s": round(raw_per_s, 3),
         "implied_valid_mol_per_s_at_ref_validity":
             round(raw_per_s * REFERENCE_VALIDITY, 3),
-        "weights": "untrained (random init; no trained weights in this env)",
+        "weights": weights_label,
         "stages": m,
         "device_s_per_request": round(dev_s_per_req, 4),
         "host_device_overlap_ratio": overlap,
@@ -369,15 +371,31 @@ def main() -> None:
         from ml_conformer_generator_tpu.utils.cache import enable_compile_cache
         enable_compile_cache(args.cache_dir)
 
+    import os
+
     def build_e2e(source: str, gen=None, driver=None):
         from ml_conformer_generator_tpu.generator import MLConformerGenerator
         from ml_conformer_generator_tpu.parallel.screening import \
             ScreeningDriver
 
         if gen is None:
+            # Use the repo's own trained weights when a prior training run
+            # left them on disk (scripts/train_overfit_validity.py) — the
+            # e2e validity figure then measures real chemistry instead of
+            # the validity-0 random-init floor.
+            kw = {}
+            edm_w = "/root/repo/.weights_overfit/edm_overfit.npz"
+            adj_w = "/root/repo/.weights_overfit/adj_mat_seer_overfit.npz"
+            if os.path.exists(edm_w) and os.path.exists(adj_w):
+                kw.update(edm_weights=edm_w, adj_mat_seer_weights=adj_w)
+                gen_label = ("own-trained overfit weights (.weights_overfit;"
+                             " see VALIDITY.json caveats)")
+            else:
+                gen_label = "untrained (random init; no trained weights found)"
             gen = MLConformerGenerator(diffusion_steps=args.steps,
                                        compute_dtype=args.dtype,
-                                       node_bucket=args.bucket)
+                                       node_bucket=args.bucket, **kw)
+            gen.bench_weights_label = gen_label
             driver = ScreeningDriver(gen)
         if source == "protocol":
             refs = make_protocol_refs(args.e2e_requests)
@@ -389,12 +407,13 @@ def main() -> None:
     if args.workload == "e2e":
         note(f"e2e workload start ({args.e2e_refs} references)")
         gen, driver, refs = build_e2e(args.e2e_refs)
-        e2e = measure_e2e(gen, driver, refs, args.batch, args.variance)
+        e2e = measure_e2e(gen, driver, refs, args.batch, args.variance,
+                          weights_label=gen.bench_weights_label)
         res = {
             "metric": "e2e_valid_mol_per_s",
             "value": e2e["valid_mol_per_s"],
-            "unit": "valid mol/s (full generate_conformers pipeline, "
-                    "untrained weights)",
+            "unit": "valid mol/s (full generate_conformers pipeline; "
+                    f"{gen.bench_weights_label})",
             "vs_baseline": round(
                 e2e["valid_mol_per_s"] / REFERENCE_VALID_MOL_PER_S, 3),
             "e2e": e2e,
@@ -554,14 +573,16 @@ def main() -> None:
             e2e_gen, e2e_driver, refs = build_e2e("protocol")
             out["e2e"] = measure_e2e(
                 e2e_gen, e2e_driver, refs, args.batch, args.variance,
-                deadline=0.85 * args.time_budget)
+                deadline=0.85 * args.time_budget,
+                weights_label=e2e_gen.bench_weights_label)
             note("phase 2 done")
         if remaining() > 0.40 * args.time_budget and e2e_gen is not None:
             note("phase 3 (e2e, demo-pool references) start")
             _, _, refs = build_e2e("demo", e2e_gen, e2e_driver)
             out["e2e_demo_pool"] = measure_e2e(
                 e2e_gen, e2e_driver, refs, args.batch, args.variance,
-                deadline=0.85 * args.time_budget)
+                deadline=0.85 * args.time_budget,
+                weights_label=e2e_gen.bench_weights_label)
             note("phase 3 done")
         if e2e_gen is not None:
             # free the e2e pipeline's params + per-bucket executables before
